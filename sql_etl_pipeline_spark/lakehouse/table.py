@@ -1,0 +1,494 @@
+"""LakeTable — a minimal from-scratch transactional table format on Parquet.
+
+Plays the role Iceberg plays in the north-star design (this environment ships
+no lakehouse jars, so the format is part of the engine). Design goals mirror
+what the reference gets from PostgreSQL heap tables + ``INSERT ... ON
+CONFLICT`` (``/root/reference/sql/etl_transformations.sql:9-193``) but at
+lake scale:
+
+* **Atomic commits**: table state = the highest ``_meta/v%08d.json`` commit
+  file; a commit is published with ``os.link`` (fails with EEXIST on
+  conflict), so readers see either the old or the new snapshot, never a mix.
+  This is the same optimistic-concurrency protocol Iceberg/Delta use against
+  an atomic-rename store.
+* **Hash-bucket partitioning**: data files are grouped by
+  ``pmod(xxhash64(bucket_cols), num_buckets)``. A CDC merge only reads and
+  rewrites the buckets its batch touches — explicit partition pruning, the
+  scale replacement for the reference's B-tree indexes
+  (``/root/reference/sql/schema.sql:248-260``).
+* **Additive schema evolution**: commits carry the full Spark schema; files
+  written before a column existed are read with the current schema and yield
+  NULLs (the principled version of the reference's staging-table
+  ``if_exists='replace'`` drift, ``/root/reference/src/database_manager.py:139-167``).
+* **Snapshot-summary fencing**: each commit carries a ``summary`` dict; the
+  CDC path records ``fence:<stream_id> -> batch_id`` atomically with the data
+  swap, giving exactly-once across crash/replay (SURVEY.md §2.10).
+* **Lineage**: every commit embeds a lineage record (rows, buckets, LSN
+  range, wall time) — the real version of the reference's ``etl_log``
+  (``/root/reference/sql/etl_transformations.sql:313-346``).
+
+At 100 TB the same layout holds: ``num_buckets`` scales to O(10k), the commit
+log lives on an atomic-rename-capable store, and per-bucket rewrites stay
+bounded by bucket size, not table size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+BUCKET_COL = "_bucket"
+# Engine bookkeeping columns on every CDC target table (FIXTURES.md §1).
+LSN_COL = "last_lsn"
+DELETED_COL = "deleted"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published the same commit version first."""
+
+
+def _bucket_expr(bucket_cols: list[str], num_buckets: int):
+    """Deterministic bucket id for a row; hot keys spread across buckets by
+    hashing the full bucket key."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(num_buckets)).cast("int")
+
+
+class LakeTable:
+    """A single transactional table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._state: dict[str, Any] = {}
+        self._load()
+
+    # ------------------------------------------------------------------ meta
+    @staticmethod
+    def create(
+        path: str,
+        schema: StructType,
+        key_cols: list[str],
+        bucket_cols: list[str] | None = None,
+        num_buckets: int = 16,
+    ) -> "LakeTable":
+        """Create an empty table. ``schema`` is the user schema; bookkeeping
+        columns (last_lsn, deleted) are appended automatically."""
+        os.makedirs(os.path.join(path, META_DIR), exist_ok=False)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        fields = list(schema.fields)
+        names = {f.name for f in fields}
+        if LSN_COL not in names:
+            fields.append(StructField(LSN_COL, LongType(), True))
+        if DELETED_COL not in names:
+            from pyspark.sql.types import BooleanType
+
+            fields.append(StructField(DELETED_COL, BooleanType(), True))
+        full = StructType(fields)
+        commit = {
+            "version": 1,
+            "schema": full.jsonValue(),
+            "key_cols": key_cols,
+            "partition": {
+                "bucket_cols": bucket_cols or [key_cols[0]],
+                "num_buckets": num_buckets,
+            },
+            "files": [],
+            "summary": {},
+            "lineage": {"op": "create", "rows_written": 0, "buckets": []},
+        }
+        tmp = os.path.join(path, META_DIR, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(commit, fh)
+        final = os.path.join(path, META_DIR, "v00000001.json")
+        os.link(tmp, final)
+        os.unlink(tmp)
+        return LakeTable(path)
+
+    def _load(self) -> None:
+        meta = os.path.join(self.path, META_DIR)
+        versions = sorted(f for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json"))
+        if not versions:
+            raise FileNotFoundError(f"no commits under {meta}")
+        with open(os.path.join(meta, versions[-1])) as fh:
+            self._state = json.load(fh)
+
+    def refresh(self) -> "LakeTable":
+        self._load()
+        return self
+
+    @property
+    def version(self) -> int:
+        return self._state["version"]
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self._state["schema"])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self._state["key_cols"])
+
+    @property
+    def bucket_cols(self) -> list[str]:
+        return list(self._state["partition"]["bucket_cols"])
+
+    @property
+    def num_buckets(self) -> int:
+        return self._state["partition"]["num_buckets"]
+
+    @property
+    def summary(self) -> dict[str, Any]:
+        return dict(self._state["summary"])
+
+    @property
+    def files(self) -> list[dict[str, Any]]:
+        return list(self._state["files"])
+
+    def _commit(
+        self,
+        files: list[dict[str, Any]],
+        schema: StructType,
+        summary: dict[str, Any],
+        lineage: dict[str, Any],
+    ) -> None:
+        """Publish the next snapshot atomically (optimistic concurrency)."""
+        nxt = dict(self._state)
+        nxt["version"] = self.version + 1
+        nxt["schema"] = schema.jsonValue()
+        nxt["files"] = files
+        nxt["summary"] = summary
+        nxt["lineage"] = lineage
+        tmp = os.path.join(self.path, META_DIR, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(nxt, fh)
+        final = os.path.join(self.path, META_DIR, f"v{nxt['version']:08d}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:  # another writer won the race
+            os.unlink(tmp)
+            raise CommitConflict(f"version {nxt['version']} already committed") from exc
+        os.unlink(tmp)
+        self._state = nxt
+
+    # ------------------------------------------------------------------ read
+    def read(
+        self,
+        spark: SparkSession,
+        include_deleted: bool = False,
+        include_meta: bool = False,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Current snapshot as a DataFrame.
+
+        ``buckets`` prunes the scan to the given bucket ids (explicit
+        partition pruning — only those parquet files are listed). The
+        explicit ``.schema(...)`` makes pre-evolution files surface NULLs for
+        later-added columns.
+        """
+        schema = self.schema
+        sel = self.files
+        if buckets is not None:
+            want = set(buckets)
+            sel = [f for f in sel if f["bucket"] in want]
+        if not sel:
+            df = spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.path, f["path"]) for f in sel]
+            df = spark.read.schema(schema).parquet(*paths)
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if not include_meta:
+            df = df.drop(LSN_COL, DELETED_COL)
+        return df
+
+    def lineage_records(self) -> list[dict[str, Any]]:
+        """All per-commit lineage records, oldest first."""
+        meta = os.path.join(self.path, META_DIR)
+        out = []
+        for name in sorted(f for f in os.listdir(meta) if f.startswith("v")):
+            with open(os.path.join(meta, name)) as fh:
+                c = json.load(fh)
+            rec = dict(c.get("lineage") or {})
+            rec["version"] = c["version"]
+            out.append(rec)
+        return out
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        recs = self.lineage_records()
+        return spark.createDataFrame(
+            [
+                (
+                    r["version"],
+                    r.get("op"),
+                    r.get("rows_written", 0),
+                    r.get("lsn_min"),
+                    r.get("lsn_max"),
+                    r.get("batch_fence"),
+                    float(r.get("wall_s") or 0.0),
+                )
+                for r in recs
+            ],
+            "version int, op string, rows_written long, lsn_min long, lsn_max long, batch_fence string, wall_s double",
+        )
+
+    # ----------------------------------------------------------------- write
+    def _write_buckets(self, df: DataFrame, n_buckets_touched: int) -> list[dict[str, Any]]:
+        """Write ``df`` (which carries BUCKET_COL) partitioned by bucket under
+        a fresh write id; return file entries. partitionBy keeps each bucket's
+        rows in its own directory so later merges prune by listing."""
+        write_id = f"w-{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.path, DATA_DIR, write_id)
+        # One shuffle partition per touched bucket keeps file counts bounded;
+        # AQE may coalesce further. At 100 TB num_buckets is large and each
+        # bucket rewrite is one task's worth of data.
+        (
+            df.repartition(max(n_buckets_touched, 1), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        entries: list[dict[str, Any]] = []
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if fn.endswith(".parquet"):
+                    entries.append(
+                        {"path": os.path.join(DATA_DIR, write_id, bdir, fn), "bucket": b}
+                    )
+        return entries
+
+    def _evolved_schema(self, source: StructType) -> StructType:
+        """Additively merge source columns into the table schema (new columns
+        appended nullable; existing columns keep their type)."""
+        current = self.schema
+        names = {f.name for f in current.fields}
+        fields = list(current.fields)
+        for f in source.fields:
+            if f.name not in names:
+                fields.append(StructField(f.name, f.dataType, True))
+        return StructType(fields)
+
+    def append(self, spark: SparkSession, df: DataFrame, op: str = "append") -> dict[str, Any]:
+        """Plain append (no key resolution) — the analog of the reference's
+        staging bulk_insert (``/root/reference/src/database_manager.py:139-174``)."""
+        t0 = time.time()
+        schema = self._evolved_schema(df.schema)
+        out = df
+        for f in schema.fields:
+            if f.name not in df.columns:
+                out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        out = out.select([f.name for f in schema.fields])
+        out = out.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
+        new_files = self._write_buckets(out, self.num_buckets)
+        rows = sum(1 for _ in [])  # filled below via file metadata-free count
+        rows = None
+        self._commit(
+            self.files + new_files,
+            schema,
+            self.summary,
+            {
+                "op": op,
+                "rows_written": rows,
+                "buckets": sorted({f["bucket"] for f in new_files}),
+                "wall_s": round(time.time() - t0, 3),
+            },
+        )
+        return {"files": len(new_files)}
+
+    # ------------------------------------------------------------------ CDC
+    def merge_cdc(
+        self,
+        spark: SparkSession,
+        events: DataFrame,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        fence: tuple[str, int] | None = None,
+    ) -> dict[str, Any]:
+        """Apply a batch of change events (I/U/D) idempotently.
+
+        The Spark-native MERGE: last-writer-wins dedup inside the batch, then
+        an LSN-guarded resolution against only the affected buckets, then an
+        atomic bucket-file swap. Equivalent semantics to Iceberg
+        ``MERGE INTO t USING s ON keys WHEN MATCHED AND s.lsn > t.last_lsn
+        THEN UPDATE/DELETE WHEN NOT MATCHED THEN INSERT`` and to the
+        reference's ``INSERT ... ON CONFLICT DO UPDATE``
+        (``/root/reference/sql/etl_transformations.sql:27-38``) — plus the
+        out-of-order/duplicate safety the reference lacks:
+
+        * duplicate events (same LSN re-delivered) are no-ops,
+        * a stale lower-LSN update arriving after a delete does NOT resurrect
+          the row (tombstones carry the delete's LSN),
+        * replaying a fenced batch is a no-op (``fence=(stream_id, batch_id)``
+          recorded in the snapshot summary atomically with the data).
+        """
+        t0 = time.time()
+        keys = self.key_cols
+        if fence is not None:
+            stream_id, batch_id = fence
+            last = self.summary.get(f"fence:{stream_id}")
+            if last is not None and int(last) >= int(batch_id):
+                return {"applied": False, "reason": "fenced", "batch_id": batch_id}
+
+        payload_cols = [c for c in events.columns if c not in (op_col, lsn_col)]
+        missing = [k for k in keys if k not in payload_cols]
+        if missing:
+            raise ValueError(f"events missing key columns {missing}")
+        value_cols = [c for c in payload_cols if c not in keys]
+
+        schema = self._evolved_schema(
+            StructType([f for f in events.schema.fields if f.name in payload_cols])
+        )
+        out_cols = [f.name for f in schema.fields]
+
+        # --- 1. within-batch last-writer-wins dedup (SURVEY.md §2.5 W1) ----
+        # groupBy + max_by(struct) instead of a row_number window: aggregation
+        # gets map-side partial combine, so hot (conv_id, turn_idx) keys
+        # reduce locally before the shuffle — the scale-critical choice.
+        # Re-delivered duplicates share an LSN and identical payloads, so any
+        # winner among equals is correct.
+        src = events.withColumn(
+            DELETED_COL, (F.col(op_col) == F.lit("D"))
+        ).withColumn(LSN_COL, F.col(lsn_col).cast("long"))
+        # Deletes blank their payload (tombstone keeps only key + LSN).
+        src = src.select(
+            *[F.col(k) for k in keys],
+            *[
+                F.when(F.col(DELETED_COL), F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in value_cols
+            ],
+            F.col(LSN_COL),
+            F.col(DELETED_COL),
+        )
+        pack = F.struct(*[F.col(c) for c in src.columns])
+        src = (
+            src.groupBy(*keys)
+            .agg(F.max_by(pack, F.col(LSN_COL)).alias("_w"))
+            .select("_w.*")
+        )
+
+        # --- 2. explicit partition pruning: which buckets does this batch
+        # touch? (cheap: distinct over <= num_buckets ints) -----------------
+        src = src.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
+        touched = sorted(
+            r[0] for r in src.select(BUCKET_COL).distinct().collect()
+        )
+        target = self.read(
+            spark, include_deleted=True, include_meta=True, buckets=touched
+        ).withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
+
+        # --- 3. LSN-guarded resolution: union + max_by((lsn, pri)) ---------
+        # pri: target=1, source=0 -> on equal LSN the already-applied target
+        # row wins, making exact replays byte-stable no-ops.
+        def _shape(df: DataFrame, pri: int) -> DataFrame:
+            cols = []
+            for name in out_cols:
+                if name in df.columns:
+                    cols.append(F.col(name))
+                else:
+                    typ = next(f.dataType for f in schema.fields if f.name == name)
+                    cols.append(F.lit(None).cast(typ).alias(name))
+            return df.select(*cols, F.col(BUCKET_COL), F.lit(pri).alias("_pri"))
+
+        combined = _shape(target, 1).unionByName(_shape(src, 0))
+        pack2 = F.struct(*[F.col(c) for c in combined.columns if c != "_pri"])
+        merged = (
+            combined.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    pack2, F.struct(F.col(LSN_COL), F.col("_pri"))
+                ).alias("_w")
+            )
+            .select("_w.*")
+        )
+
+        # --- 4. rewrite only the touched buckets, swap atomically ----------
+        new_files = self._write_buckets(merged, len(touched))
+        stats = events.agg(
+            F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi"), F.count("*").alias("n")
+        ).collect()[0]
+        keep = [f for f in self.files if f["bucket"] not in set(touched)]
+        summary = self.summary
+        if fence is not None:
+            summary[f"fence:{fence[0]}"] = int(fence[1])
+        self._commit(
+            keep + new_files,
+            schema,
+            summary,
+            {
+                "op": "merge_cdc",
+                "rows_written": int(stats["n"]),
+                "buckets": touched,
+                "lsn_min": int(stats["lo"]) if stats["lo"] is not None else None,
+                "lsn_max": int(stats["hi"]) if stats["hi"] is not None else None,
+                "batch_fence": f"{fence[0]}:{fence[1]}" if fence else None,
+                "wall_s": round(time.time() - t0, 3),
+            },
+        )
+        return {
+            "applied": True,
+            "events": int(stats["n"]),
+            "buckets_touched": len(touched),
+            "files_written": len(new_files),
+        }
+
+    # ------------------------------------------------------------ maintenance
+    def compact(
+        self, spark: SparkSession, purge_tombstones_below_lsn: int | None = None
+    ) -> dict[str, Any]:
+        """Rewrite every live bucket into (approximately) one file and
+        optionally purge tombstones whose delete LSN is below the watermark —
+        the engine's ``rewrite_data_files`` + tombstone GC (SURVEY.md §7.2)."""
+        t0 = time.time()
+        df = self.read(spark, include_deleted=True, include_meta=True)
+        if purge_tombstones_below_lsn is not None:
+            df = df.filter(
+                ~(
+                    F.coalesce(F.col(DELETED_COL), F.lit(False))
+                    & (F.col(LSN_COL) < F.lit(purge_tombstones_below_lsn))
+                )
+            )
+        df = df.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
+        new_files = self._write_buckets(df, self.num_buckets)
+        self._commit(
+            new_files,
+            self.schema,
+            self.summary,
+            {
+                "op": "compact",
+                "rows_written": None,
+                "buckets": sorted({f["bucket"] for f in new_files}),
+                "wall_s": round(time.time() - t0, 3),
+            },
+        )
+        return {"files": len(new_files)}
+
+    def vacuum(self) -> int:
+        """Delete data files no longer referenced by the current snapshot
+        (including orphans from crashed writes). Returns count removed."""
+        live = {os.path.join(self.path, f["path"]) for f in self.files}
+        removed = 0
+        data_root = os.path.join(self.path, DATA_DIR)
+        for wdir in list(os.listdir(data_root)):
+            full = os.path.join(data_root, wdir)
+            keep_any = False
+            for root, _dirs, files in os.walk(full):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    if p in live:
+                        keep_any = True
+                    elif fn.endswith(".parquet"):
+                        os.unlink(p)
+                        removed += 1
+            if not keep_any:
+                shutil.rmtree(full, ignore_errors=True)
+        return removed

@@ -1,0 +1,155 @@
+"""LakeTable format: atomic commits, pruning, evolution, fencing, compaction."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sql_etl_pipeline_spark.lakehouse import CommitConflict, LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(op=o, lsn=l, conv_id=c, turn_idx=t, text=x) for (o, l, c, t, x) in rows],
+        "op string, lsn long, conv_id string, turn_idx int, text string",
+    )
+
+
+def _state(tbl, spark):
+    return {
+        (r.conv_id, r.turn_idx): r.text
+        for r in tbl.read(spark).select("conv_id", "turn_idx", "text").collect()
+    }
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return LakeTable.create(str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"], num_buckets=4)
+
+
+def test_create_and_empty_read(table, spark):
+    assert table.version == 1
+    assert table.read(spark).count() == 0
+    # bookkeeping columns exist internally
+    assert {"last_lsn", "deleted"} <= {f.name for f in table.schema.fields}
+
+
+def test_insert_update_delete_roundtrip(table, spark):
+    table.merge_cdc(spark, _events(spark, [("I", 1, "a", 0, "hello"), ("I", 2, "a", 1, "world")]))
+    assert _state(table, spark) == {("a", 0): "hello", ("a", 1): "world"}
+    table.merge_cdc(spark, _events(spark, [("U", 3, "a", 0, "hello2"), ("D", 4, "a", 1, None)]))
+    assert _state(table, spark) == {("a", 0): "hello2"}
+
+
+def test_within_batch_lww(table, spark):
+    table.merge_cdc(
+        spark,
+        _events(
+            spark,
+            [("I", 1, "a", 0, "v1"), ("U", 3, "a", 0, "v3"), ("U", 2, "a", 0, "v2")],
+        ),
+    )
+    assert _state(table, spark) == {("a", 0): "v3"}
+
+
+def test_stale_update_is_noop(table, spark):
+    table.merge_cdc(spark, _events(spark, [("I", 10, "a", 0, "new")]))
+    table.merge_cdc(spark, _events(spark, [("U", 5, "a", 0, "old")]))
+    assert _state(table, spark) == {("a", 0): "new"}
+
+
+def test_delete_then_late_lower_lsn_update_does_not_resurrect(table, spark):
+    table.merge_cdc(spark, _events(spark, [("I", 1, "a", 0, "v1")]))
+    table.merge_cdc(spark, _events(spark, [("D", 9, "a", 0, None)]))
+    table.merge_cdc(spark, _events(spark, [("U", 5, "a", 0, "ghost")]))
+    assert _state(table, spark) == {}
+    # tombstone still present internally with the delete's LSN
+    t = table.read(spark, include_deleted=True, include_meta=True).collect()
+    assert len(t) == 1 and t[0].deleted and t[0].last_lsn == 9
+
+
+def test_duplicate_replay_is_idempotent(table, spark):
+    ev = [("I", 1, "a", 0, "x"), ("U", 2, "b", 1, "y")]
+    table.merge_cdc(spark, _events(spark, ev))
+    s1 = _state(table, spark)
+    table.merge_cdc(spark, _events(spark, ev))  # exact replay
+    assert _state(table, spark) == s1
+
+
+def test_batch_fencing(table, spark):
+    r1 = table.merge_cdc(spark, _events(spark, [("I", 1, "a", 0, "x")]), fence=("s1", 0))
+    assert r1["applied"]
+    r2 = table.merge_cdc(spark, _events(spark, [("U", 2, "a", 0, "bad")]), fence=("s1", 0))
+    assert not r2["applied"] and r2["reason"] == "fenced"
+    assert _state(table, spark) == {("a", 0): "x"}
+    r3 = table.merge_cdc(spark, _events(spark, [("U", 2, "a", 0, "good")]), fence=("s1", 1))
+    assert r3["applied"]
+    assert _state(table, spark) == {("a", 0): "good"}
+
+
+def test_partition_pruning_rewrites_only_touched_buckets(table, spark):
+    many = [("I", i, f"c{i}", 0, f"t{i}") for i in range(40)]
+    table.merge_cdc(spark, _events(spark, many))
+    before = {f["path"]: f["bucket"] for f in table.files}
+    res = table.merge_cdc(spark, _events(spark, [("U", 100, "c1", 0, "upd")]))
+    assert res["buckets_touched"] == 1
+    after = {f["path"]: f["bucket"] for f in table.files}
+    touched_bucket = next(b for p, b in after.items() if p not in before)
+    untouched_before = {p for p, b in before.items() if b != touched_bucket}
+    assert untouched_before <= set(after)  # untouched buckets kept their files
+
+
+def test_schema_evolution_additive(table, spark):
+    table.merge_cdc(spark, _events(spark, [("I", 1, "a", 0, "x")]))
+    ev2 = spark.createDataFrame(
+        [Row(op="I", lsn=2, conv_id="b", turn_idx=0, text="y", tool="search")],
+        "op string, lsn long, conv_id string, turn_idx int, text string, tool string",
+    )
+    table.merge_cdc(spark, ev2)
+    rows = {(r.conv_id, r.turn_idx): r.tool for r in table.read(spark).collect()}
+    assert rows == {("a", 0): None, ("b", 0): "search"}
+    assert "tool" in [f.name for f in table.schema.fields]
+
+
+def test_compaction_purges_tombstones_and_preserves_state(table, spark):
+    table.merge_cdc(spark, _events(spark, [("I", 1, "a", 0, "x"), ("I", 2, "b", 0, "y")]))
+    table.merge_cdc(spark, _events(spark, [("D", 3, "a", 0, None)]))
+    s = _state(table, spark)
+    table.compact(spark, purge_tombstones_below_lsn=100)
+    assert _state(table, spark) == s
+    assert table.read(spark, include_deleted=True).count() == 1  # tombstone gone
+    removed = table.vacuum()
+    assert removed > 0
+    assert _state(table, spark) == s  # vacuum never changes state
+
+
+def test_commit_conflict_detected(table, spark, tmp_path):
+    other = LakeTable(table.path)  # second writer handle at same version
+    table.merge_cdc(spark, _events(spark, [("I", 1, "a", 0, "x")]))
+    with pytest.raises(CommitConflict):
+        other.merge_cdc(spark, _events(spark, [("I", 1, "z", 0, "y")]))
+
+
+def test_lineage_records(table, spark):
+    table.merge_cdc(spark, _events(spark, [("I", 5, "a", 0, "x")]), fence=("s", 3))
+    recs = table.lineage_records()
+    assert recs[0]["op"] == "create"
+    last = recs[-1]
+    assert last["op"] == "merge_cdc"
+    assert last["lsn_min"] == 5 and last["lsn_max"] == 5
+    assert last["batch_fence"] == "s:3"
+    assert table.lineage_df(spark).count() == len(recs)
