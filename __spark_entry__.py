@@ -1,38 +1,68 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship CDC-apply query at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
+training-data pipeline operators); ``oracle_sql()`` gives the DuckDB
+equivalent for the driver's side-by-side correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sql_etl_pipeline_spark.analytics.queries import QUERIES as _ANALYTICS  # noqa: E402
+from sql_etl_pipeline_spark.cdc.queries import (  # noqa: E402
+    CDC_ORACLE_SQL,
+    cdc_apply_engine,
+    cdc_apply_lww,
+)
+
+SMOKE_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC apply itself — change log derived from lineitem,
+    applied through the full merge engine, final transcript state out."""
+    return cdc_apply_engine(spark, SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "cdc_apply_lww": cdc_apply_lww,
+        "cdc_apply_engine": cdc_apply_engine,
+    }
+    for name, spec in _ANALYTICS.items():
+        out[name] = spec.fn
+    try:
+        from sql_etl_pipeline_spark.datapipe.queries import QUERIES as _DATAPIPE
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        for name, spec in _DATAPIPE.items():
+            out[name] = spec.fn
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {
+        "cdc_apply_lww": CDC_ORACLE_SQL,
+        "cdc_apply_engine": CDC_ORACLE_SQL,
+    }
+    for name, spec in _ANALYTICS.items():
+        if spec.oracle is not None:
+            out[name] = spec.oracle
+    try:
+        from sql_etl_pipeline_spark.datapipe.queries import QUERIES as _DATAPIPE
+
+        for name, spec in _DATAPIPE.items():
+            if spec.oracle is not None:
+                out[name] = spec.oracle
+    except ImportError:
+        pass
+    return out

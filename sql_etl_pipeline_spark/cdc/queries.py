@@ -1,0 +1,143 @@
+"""CDC apply as driver-checkable queries.
+
+Derives a deterministic change-event log FROM the shared test tables (so the
+DuckDB oracle can derive the identical log from its views — no files, no
+randomness), then computes the final transcript state two ways:
+
+* ``cdc_apply_lww`` — pure DataFrame last-writer-wins reduction, and
+* ``cdc_apply_engine`` — the full engine path: micro-batched, fenced,
+  LSN-guarded merges into a throwaway LakeTable, then a snapshot read.
+
+Both must hash-match the same SQL oracle — which makes the driver's
+correctness gate an end-to-end proof of the merge engine, not just of a
+query expression.
+
+Log derivation (from ``lineitem``): key = (conv 'c'+orderkey, linenumber%3),
+op from quantity/linestatus with a small delete share. ``(orderkey,
+linenumber)`` is NOT unique in this data, so the LSN arithmetically encodes
+every content-determining field (partkey, quantity, shipdate, returnflag,
+linestatus): two events in the same key with equal LSNs are therefore
+byte-identical, which makes last-writer-wins well-defined in any engine.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..lakehouse import LakeTable
+from .apply import apply_batch
+from .generate import TRANSCRIPT_SCHEMA
+
+# Shared derivation, kept textually parallel in Spark and SQL.
+_EVENTS_SQL = """
+    SELECT CASE WHEN l_quantity < 2 THEN 'D'
+                WHEN l_linestatus = 'O' THEN 'U'
+                ELSE 'I' END AS op,
+           CAST(l_partkey AS BIGINT) * 1000000000
+             + CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) * 10000
+             + CAST(FLOOR(l_quantity) AS BIGINT) * 100
+             + (CASE l_returnflag WHEN 'R' THEN 2 WHEN 'A' THEN 1 ELSE 0 END) * 10
+             + (CASE l_linestatus WHEN 'O' THEN 1 ELSE 0 END) AS lsn,
+           'c' || CAST(l_orderkey AS VARCHAR) AS conv_id,
+           CAST(l_linenumber % 3 AS INTEGER) AS turn_idx,
+           l_returnflag AS role,
+           'item ' || CAST(l_partkey AS VARCHAR) || ' x' ||
+               CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR) AS text,
+           l_shipdate AS ts
+    FROM lineitem
+"""
+
+CDC_ORACLE_SQL = f"""
+    WITH ev AS ({_EVENTS_SQL}),
+    w AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY lsn DESC) AS rn
+        FROM ev
+    )
+    SELECT conv_id, turn_idx, role, text, ts
+    FROM w WHERE rn = 1 AND op <> 'D'
+    ORDER BY conv_id, turn_idx
+"""
+
+
+def derive_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        F.when(F.col("l_quantity") < 2, "D")
+        .when(F.col("l_linestatus") == "O", "U")
+        .otherwise("I")
+        .alias("op"),
+        (
+            F.col("l_partkey").cast("long") * 1_000_000_000
+            + F.datediff(
+                F.col("l_shipdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+            ).cast("long")
+            * 10_000
+            + F.floor("l_quantity").cast("long") * 100
+            + F.when(F.col("l_returnflag") == "R", 2)
+            .when(F.col("l_returnflag") == "A", 1)
+            .otherwise(0)
+            * 10
+            + F.when(F.col("l_linestatus") == "O", 1).otherwise(0)
+        ).alias("lsn"),
+        F.concat(F.lit("c"), F.col("l_orderkey").cast("string")).alias("conv_id"),
+        (F.col("l_linenumber") % 3).cast("int").alias("turn_idx"),
+        F.col("l_returnflag").alias("role"),
+        F.concat(
+            F.lit("item "),
+            F.col("l_partkey").cast("string"),
+            F.lit(" x"),
+            F.floor("l_quantity").cast("long").cast("string"),
+        ).alias("text"),
+        F.col("l_shipdate").alias("ts"),
+    )
+
+
+def cdc_apply_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot LWW reduction (the declarative core of CDC apply)."""
+    ev = derive_change_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.desc("lsn"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("conv_id", "turn_idx", "role", "text", "ts")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def cdc_apply_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: 4 fenced micro-batches -> LakeTable -> snapshot.
+
+    Batches split by LSN ranges delivered out of order (3,1,2,4-groups by
+    lsn%4... simply: partition on lsn % 4 applied in a fixed shuffled order)
+    to also exercise cross-batch out-of-order application under the
+    driver's oracle comparison.
+    """
+    ev = derive_change_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc-engine-q-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    schema = TRANSCRIPT_SCHEMA
+    # transcripts schema minus 'tool' (this log has none)
+    from pyspark.sql.types import StructType
+
+    schema = StructType([f for f in schema.fields if f.name != "tool"])
+    table = LakeTable.create(
+        tmp, schema, key_cols=["conv_id", "turn_idx"], num_buckets=8
+    )
+    try:
+        for i, part in enumerate([2, 0, 3, 1]):  # deliberately out of order
+            batch = ev.filter(F.pmod(F.col("lsn"), F.lit(4)) == part)
+            apply_batch(table, spark, batch, fence=("q", i), normalize=False)
+        out = (
+            table.read(spark)
+            .select("conv_id", "turn_idx", "role", "text", "ts")
+            .orderBy("conv_id", "turn_idx")
+        )
+        # materialize before deleting the backing files
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

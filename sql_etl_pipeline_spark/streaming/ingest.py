@@ -1,0 +1,96 @@
+"""Structured Streaming CDC ingestion: log tail -> LakeTable upserts.
+
+This is the real implementation of what the reference only aspires to —
+"log-based change detection, real-time" described but never built
+(``/root/reference/docs/TECHNICAL_GUIDE.md:184-189``). Its hand-rolled
+timestamp high-water mark (``/root/reference/src/etl_pipeline.py:231-245``,
+always ``None`` in practice) is replaced by checkpointed source offsets:
+"which events are new" is the checkpoint's job, restart-safety comes for
+free, and exactly-once comes from the batch-id fence recorded atomically
+inside each LakeTable commit.
+
+Scale notes (100 TB / 10^10 events):
+
+* the file source lists only new files per trigger; ``maxFilesPerTrigger``
+  bounds micro-batch size (the principled version of the reference's
+  ``BATCH_SIZE=1000`` chunking, ``/root/reference/config/config.py:43``),
+* each micro-batch shuffles once for LWW dedup (salted) and rewrites only
+  the buckets it touches,
+* ``Trigger.AvailableNow`` gives bounded replay/backfill with the same code
+  path as continuous tailing.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..cdc.apply import apply_batch
+from ..lakehouse.table import LakeTable
+
+
+class CdcStreamIngestor:
+    """Tails a directory of change-event files into a LakeTable."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        source_dir: str,
+        checkpoint_dir: str,
+        event_schema: StructType,
+        stream_id: str = "cdc",
+        max_files_per_trigger: int | None = None,
+        source_format: str = "parquet",
+        n_salts: int = 8,
+        fail_after_merge: bool = False,
+    ):
+        self.table = table
+        self.source_dir = source_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.event_schema = event_schema
+        self.stream_id = stream_id
+        self.max_files_per_trigger = max_files_per_trigger
+        self.source_format = source_format
+        self.n_salts = n_salts
+        # test hook: simulate a crash AFTER the merge commit but BEFORE the
+        # checkpoint advances — the adversarial window for exactly-once.
+        self.fail_after_merge = fail_after_merge
+        self.batches: list[dict[str, Any]] = []
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # refresh: another commit (compaction, a previous fenced batch) may
+        # have advanced the table since this handle loaded.
+        self.table.refresh()
+        stats = apply_batch(
+            self.table,
+            spark,
+            batch_df,
+            fence=(self.stream_id, int(batch_id)),
+            n_salts=self.n_salts,
+        )
+        stats["batch_id"] = int(batch_id)
+        self.batches.append(stats)
+        if self.fail_after_merge:
+            raise RuntimeError("injected crash between merge commit and checkpoint")
+
+    def run_available_now(self, spark: SparkSession) -> list[dict[str, Any]]:
+        """Process everything currently in the log, then stop (bounded
+        replay). Re-running with the same checkpoint resumes where the last
+        run stopped — including after a crash mid-batch."""
+        reader = (
+            spark.readStream.schema(self.event_schema).format(self.source_format)
+        )
+        if self.max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        stream = reader.load(self.source_dir)
+        query = (
+            stream.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return self.batches
