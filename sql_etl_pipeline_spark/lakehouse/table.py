@@ -313,6 +313,8 @@ class LakeTable:
         op_col: str = "op",
         lsn_col: str = "lsn",
         fence: tuple[str, int] | None = None,
+        assume_deduped: bool = False,
+        stats: tuple[int | None, int | None, int] | None = None,
     ) -> dict[str, Any]:
         """Apply a batch of change events (I/U/D) idempotently.
 
@@ -330,6 +332,12 @@ class LakeTable:
           the row (tombstones carry the delete's LSN),
         * replaying a fenced batch is a no-op (``fence=(stream_id, batch_id)``
           recorded in the snapshot summary atomically with the data).
+
+        ``assume_deduped=True`` skips the internal LWW groupBy when the
+        caller already reduced the batch to one row per key (the streaming
+        path does, with salting — see ``cdc.apply``). ``stats=(lo, hi, n)``
+        passes the batch's LSN range + raw event count so no extra scan of
+        ``events`` is needed for lineage.
         """
         t0 = time.time()
         keys = self.key_cols
@@ -369,12 +377,13 @@ class LakeTable:
             F.col(LSN_COL),
             F.col(DELETED_COL),
         )
-        pack = F.struct(*[F.col(c) for c in src.columns])
-        src = (
-            src.groupBy(*keys)
-            .agg(F.max_by(pack, F.col(LSN_COL)).alias("_w"))
-            .select("_w.*")
-        )
+        if not assume_deduped:
+            pack = F.struct(*[F.col(c) for c in src.columns])
+            src = (
+                src.groupBy(*keys)
+                .agg(F.max_by(pack, F.col(LSN_COL)).alias("_w"))
+                .select("_w.*")
+            )
 
         # --- 2. explicit partition pruning: which buckets does this batch
         # touch? (cheap: distinct over <= num_buckets ints) -----------------
@@ -413,9 +422,16 @@ class LakeTable:
 
         # --- 4. rewrite only the touched buckets, swap atomically ----------
         new_files = self._write_buckets(merged, len(touched))
-        stats = events.agg(
-            F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi"), F.count("*").alias("n")
-        ).collect()[0]
+        if stats is None:
+            row = events.agg(
+                F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi"), F.count("*").alias("n")
+            ).collect()[0]
+            stats = (
+                int(row["lo"]) if row["lo"] is not None else None,
+                int(row["hi"]) if row["hi"] is not None else None,
+                int(row["n"]),
+            )
+        lo, hi, n_events = stats
         keep = [f for f in self.files if f["bucket"] not in set(touched)]
         summary = self.summary
         if fence is not None:
@@ -426,17 +442,17 @@ class LakeTable:
             summary,
             {
                 "op": "merge_cdc",
-                "rows_written": int(stats["n"]),
+                "rows_written": n_events,
                 "buckets": touched,
-                "lsn_min": int(stats["lo"]) if stats["lo"] is not None else None,
-                "lsn_max": int(stats["hi"]) if stats["hi"] is not None else None,
+                "lsn_min": lo,
+                "lsn_max": hi,
                 "batch_fence": f"{fence[0]}:{fence[1]}" if fence else None,
                 "wall_s": round(time.time() - t0, 3),
             },
         )
         return {
             "applied": True,
-            "events": int(stats["n"]),
+            "events": n_events,
             "buckets_touched": len(touched),
             "files_written": len(new_files),
         }

@@ -43,7 +43,7 @@ class CdcStreamIngestor:
         stream_id: str = "cdc",
         max_files_per_trigger: int | None = None,
         source_format: str = "parquet",
-        n_salts: int = 8,
+        n_salts: int = 1,
         fail_after_merge: bool = False,
     ):
         self.table = table
