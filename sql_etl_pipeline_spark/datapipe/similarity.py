@@ -1,0 +1,277 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+Three operators:
+
+* ``ann_cosine_topk`` — brute-force cosine top-k for a query set: the
+  exactness baseline. O(queries x corpus); at 100 TB the query side is a
+  broadcast and the corpus scan is embarrassingly parallel.
+* ``ann_ivf_label`` — IVF-style two-stage search: coarse cells = the
+  ``label`` column (stand-in for k-means cells), probe the nearest
+  centroid's cell only. The scale path: each query touches 1/n_cells of
+  the corpus; real deployments partition the corpus table BY cell so the
+  probe is a partition-pruned scan.
+* ``dedup_embedding_cosine`` — near-duplicate pairs (cosine >= 0.98)
+  blocked by cell: the embedding-space analog of MinHash banding.
+
+Determinism across engines: dot products fold left-to-right in double
+(`F.aggregate` / `list_dot_product`), so cosines are bit-identical; output
+values are rounded to 6dp and every ranking carries a unique tiebreak.
+Like the dedup corpus, near-dup positives are derived deterministically
+(vectors with the first 4 dims zeroed, ids +10000).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .registry import register
+
+_DIM = 64
+_TOPK = 5
+_NEAR_COS = 0.98
+
+# ---------------------------------------------------------------- primitives
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+SQL_COS = (
+    "(list_dot_product({a}, {b})"
+    " / sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})))"
+)
+
+_EMB = "SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings"
+
+
+def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+# ------------------------------------------------------- brute-force top-k
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH e AS ({_EMB}),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {SQL_COS.format(a="q.emb", b="c.emb")} AS cos
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_TOPK}
+    ORDER BY query_id, rn
+    """,
+    "brute-force cosine top-5 neighbors for 20 query vectors",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+# ------------------------------------------------------------ IVF two-stage
+
+# Centroid = element-wise SUM per label (same direction as the mean —
+# cosine is scale-invariant, and the sum avoids a count division).
+_CENTROID_SQL = f"""
+        SELECT label, list(s ORDER BY dim) AS cent
+        FROM (
+            SELECT label, dim, SUM(emb[dim]) AS s
+            FROM e, (SELECT unnest(generate_series(1, {_DIM})) AS dim)
+            GROUP BY label, dim
+        )
+        GROUP BY label
+"""
+
+
+@register(
+    "ann_ivf_label",
+    f"""
+    WITH e AS ({_EMB}),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    cent AS ({_CENTROID_SQL}),
+    probe AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.label AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {SQL_COS.format(a="q.emb", b="c.cent")} DESC,
+                                c.label) AS pr
+            FROM q JOIN cent c ON TRUE
+        ) WHERE pr = 1
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, p.cell, c.vec_id AS neighbor_id,
+               {SQL_COS.format(a="q.emb", b="c.emb")} AS cos
+        FROM q
+        JOIN probe p ON p.query_id = q.vec_id
+        JOIN e c ON c.label = p.cell AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, cell, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, CAST(cell AS INTEGER) AS probed_cell, neighbor_id,
+           ROUND(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_TOPK}
+    ORDER BY query_id, rn
+    """,
+    "IVF-style ANN: probe nearest label-centroid cell, top-5 within cell",
+)
+def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir)
+    dims = spark.range(1, _DIM + 1).select(F.col("id").cast("int").alias("dim"))
+    cent = (
+        e.crossJoin(F.broadcast(dims))
+        .select("label", "dim", F.element_at("emb", F.col("dim")).alias("v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda x: x["s"]
+            ).alias("cent")
+        )
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("label"))
+    probe = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "label", cosine(F.col("q_emb"), F.col("cent")).alias("ccos"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("query_id", F.col("label").alias("cell"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q.join(probe, "query_id"))
+        .join(
+            e,
+            (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(
+            "query_id",
+            F.col("cell").cast("int").alias("probed_cell"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+# --------------------------------------------------- embedding near-dup
+
+_PERTURB_SQL = f"""
+    SELECT vec_id, emb, label FROM e
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id,
+           [CASE WHEN i <= 4 THEN 0.0 ELSE emb[i] END
+            FOR i IN generate_series(1, {_DIM})] AS emb,
+           label
+    FROM e WHERE vec_id % 5 = 0
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS ({_EMB}),
+    corpus AS ({_PERTURB_SQL})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS cell,
+           ROUND({SQL_COS.format(a="a.emb", b="b.emb")}, 6) AS cosine
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {SQL_COS.format(a="a.emb", b="b.emb")} >= {_NEAR_COS}
+    ORDER BY vec_a, vec_b
+    """,
+    "embedding near-dup pairs (cosine>=0.98), blocked by cell label",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir)
+    perturbed = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_DIM)),
+            lambda i: F.when(i <= 4, F.lit(0.0)).otherwise(F.element_at("emb", i)),
+        ).alias("emb"),
+        "label",
+    )
+    corpus = e.unionByName(perturbed)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("cell"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= _NEAR_COS)
+        .select("vec_a", "vec_b", "cell", F.round("cos", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
