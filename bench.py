@@ -189,6 +189,20 @@ def run_suite() -> dict:
     }
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed-parallelism (4-task) CPU probe. The sandbox VM's effective CPU
+    swings several-fold over minutes (the same fixed job measured 9.5s to
+    90s across runs); this probe runs the identical 4-way md5 job in every
+    trial, measuring the machine's speed AT THAT MOMENT independent of the
+    parallelism level under test — so trial throughputs can be normalized
+    to a common machine state."""
+    t0 = time.time()
+    spark.range(8_000_000, numPartitions=4).selectExpr(
+        "sum(length(md5(cast(id as string)))) s"
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
 def run_cdc_only() -> dict:
     """Subprocess entry for --scaling: one CDC apply at $SPARK_GRAFT_CPUS.
 
@@ -197,7 +211,9 @@ def run_cdc_only() -> dict:
     the 10^10-event cluster deployment."""
     n = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "6000000"))
     spark = _bench_session("bench-cdc")
+    _calibration_probe(spark)  # warm codegen for the probe
     out = run_cdc_apply(spark, SF_DIR, generate_events=n)
+    out["calib_s"] = _calibration_probe(spark)
     spark.stop()
     return out
 
@@ -225,18 +241,30 @@ def run_scaling(levels=(8, 32)) -> dict:
             )
             runs[n].append(json.loads(proc.stdout.strip().splitlines()[-1]))
     best = {n: max(r["events_per_sec"] for r in runs[n]) for n in levels}
+    # Calibration-normalized: scale each trial's throughput by how slow the
+    # machine was during it (probe wall / fastest probe observed), then take
+    # the best normalized trial per level.
+    ref = min(r["calib_s"] for rs in runs.values() for r in rs)
+    norm = {
+        n: max(r["events_per_sec"] * (r["calib_s"] / ref) for r in runs[n])
+        for n in levels
+    }
     lo, hi = levels
     eff = (best[hi] / best[lo]) / (hi / lo)
+    eff_norm = (norm[hi] / norm[lo]) / (hi / lo)
     return {
         "metric": "cdc_scaling_efficiency",
         "value": round(eff, 3),
+        "value_calibrated": round(eff_norm, 3),
         "unit": "ratio",
         "sf": _sf_from_dir(SF_DIR),
         "levels": {
             str(n): {
                 "best_events_per_sec": best[n],
+                "best_normalized_events_per_sec": round(norm[n], 1),
                 "trials_events_per_sec": [r["events_per_sec"] for r in runs[n]],
                 "trials_wall_s": [r["wall_s"] for r in runs[n]],
+                "trials_calib_s": [r["calib_s"] for r in runs[n]],
             }
             for n in levels
         },
