@@ -688,3 +688,8 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("p_brand", "rnk", "p_partkey")
     )
+
+
+# populate the registry with the second wave (imports at bottom to avoid a
+# circular import: extra.py imports register/helpers from this module)
+from . import extra  # noqa: E402,F401
