@@ -45,6 +45,8 @@ class CdcStreamIngestor:
         source_format: str = "parquet",
         n_salts: int = 1,
         fail_after_merge: bool = False,
+        rules: dict | None = None,
+        strict_validation: bool = False,
     ):
         self.table = table
         self.source_dir = source_dir
@@ -57,6 +59,13 @@ class CdcStreamIngestor:
         # test hook: simulate a crash AFTER the merge commit but BEFORE the
         # checkpoint advances — the adversarial window for exactly-once.
         self.fail_after_merge = fail_after_merge
+        # per-batch validation (one extra aggregation pass over the batch —
+        # the reference validates each extract the same way,
+        # /root/reference/src/etl_pipeline.py:164-167). strict -> a failing
+        # batch aborts BEFORE the merge, so the checkpoint does not advance
+        # and the batch retries after the data is fixed.
+        self.rules = rules
+        self.strict_validation = strict_validation
         self.batches: list[dict[str, Any]] = []
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -64,6 +73,15 @@ class CdcStreamIngestor:
         # refresh: another commit (compaction, a previous fenced batch) may
         # have advanced the table since this handle loaded.
         self.table.refresh()
+        report = None
+        if self.rules is not None:
+            from ..functions.validate import validate
+
+            report = validate(batch_df, self.rules)
+            if self.strict_validation and not report["is_valid"]:
+                raise ValueError(
+                    f"batch {batch_id} failed validation: {report['issues']}"
+                )
         stats = apply_batch(
             self.table,
             spark,
@@ -72,6 +90,8 @@ class CdcStreamIngestor:
             n_salts=self.n_salts,
         )
         stats["batch_id"] = int(batch_id)
+        if report is not None:
+            stats["validation"] = report
         self.batches.append(stats)
         if self.fail_after_merge:
             raise RuntimeError("injected crash between merge commit and checkpoint")
