@@ -210,9 +210,10 @@ def run_cdc_only() -> dict:
     job is compute-bound, not scheduling-bound — the regime that represents
     the 10^10-event cluster deployment."""
     n = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "6000000"))
+    nb = int(os.environ.get("SPARK_GRAFT_SCALE_BATCHES", "2"))
     spark = _bench_session("bench-cdc")
     _calibration_probe(spark)  # warm codegen for the probe
-    out = run_cdc_apply(spark, SF_DIR, generate_events=n)
+    out = run_cdc_apply(spark, SF_DIR, n_batches=nb, generate_events=n)
     out["calib_s"] = _calibration_probe(spark)
     spark.stop()
     return out
@@ -228,9 +229,14 @@ def run_scaling(levels=(8, 32)) -> dict:
     unthrottled machine; every trial is reported for transparency.
     """
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    cooldown = int(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "45"))
     runs: dict[int, list[dict]] = {n: [] for n in levels}
+    first = True
     for _ in range(trials):
         for n in levels:
+            if not first:
+                time.sleep(cooldown)  # let the VM's CPU burst credits refill
+            first = False
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--cdc-only"],
