@@ -124,6 +124,32 @@ class LakeTable:
         self._load()
         return self
 
+    def at_version(self, version: int) -> "LakeTable":
+        """Time-travel handle: a read-only view of snapshot ``version``
+        (commits are immutable, so this is just loading an older commit
+        file — same mechanism as Iceberg's ``VERSION AS OF``)."""
+        p = os.path.join(self.path, META_DIR, f"v{version:08d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no snapshot v{version} (expired or never existed)")
+        t = LakeTable.__new__(LakeTable)
+        t.path = self.path
+        with open(p) as fh:
+            t._state = json.load(fh)
+        return t
+
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Drop commit files older than the last ``keep_last`` (never the
+        current one). Files referenced only by expired snapshots become
+        vacuum-able. Returns number of snapshots removed."""
+        meta = os.path.join(self.path, META_DIR)
+        versions = sorted(
+            f for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json")
+        )
+        doomed = versions[:-max(keep_last, 1)]
+        for name in doomed:
+            os.unlink(os.path.join(meta, name))
+        return len(doomed)
+
     @property
     def version(self) -> int:
         return self._state["version"]
@@ -489,9 +515,19 @@ class LakeTable:
         return {"files": len(new_files)}
 
     def vacuum(self) -> int:
-        """Delete data files no longer referenced by the current snapshot
-        (including orphans from crashed writes). Returns count removed."""
-        live = {os.path.join(self.path, f["path"]) for f in self.files}
+        """Delete data files referenced by NO retained snapshot (including
+        orphans from crashed writes). Time-travel-safe: files needed by any
+        commit still on disk survive; run ``expire_snapshots`` first to
+        widen the reclaim set. Returns count removed."""
+        meta = os.path.join(self.path, META_DIR)
+        live: set[str] = set()
+        for name in os.listdir(meta):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(meta, name)) as fh:
+                    commit = json.load(fh)
+                live |= {
+                    os.path.join(self.path, f["path"]) for f in commit.get("files", [])
+                }
         removed = 0
         data_root = os.path.join(self.path, DATA_DIR)
         for wdir in list(os.listdir(data_root)):
