@@ -50,14 +50,16 @@ def test_top_k_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in s
 
 
-def test_whole_stage_codegen_on_cdc_reduce(spark):
-    from sql_etl_pipeline_spark.cdc.apply import prepare_events, salted_lww_reduce
+def test_whole_stage_codegen_on_normalize_pipeline(spark):
+    """The per-event hot path (scan -> derive -> normalize) must stay inside
+    whole-stage codegen. (The LWW agg itself is a SortAggregate — max_by
+    over a struct buffer can't hash-aggregate in Spark 4 — which sits
+    outside WSCG by design.)"""
+    from sql_etl_pipeline_spark.cdc.apply import prepare_events
     from sql_etl_pipeline_spark.cdc.queries import derive_change_events
 
-    red = salted_lww_reduce(
-        prepare_events(derive_change_events(spark, SF)), ["conv_id", "turn_idx"]
-    )
-    assert "WholeStageCodegen" in plan(red)
+    prepared = prepare_events(derive_change_events(spark, SF))
+    assert "WholeStageCodegen" in plan(prepared)
 
 
 def test_bucket_pruned_read_lists_only_touched_files(spark, tmp_path):
