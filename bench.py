@@ -228,6 +228,9 @@ def run_scaling(levels=(8, 32)) -> dict:
     BEST throughput per level is compared — best-of-N approximates the
     unthrottled machine; every trial is reported for transparency.
     """
+    lv = os.environ.get("SPARK_GRAFT_SCALE_LEVELS")
+    if lv:
+        levels = tuple(int(x) for x in lv.split(","))
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
     cooldown = int(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "45"))
     runs: dict[int, list[dict]] = {n: [] for n in levels}
