@@ -82,16 +82,16 @@ def test_bucket_pruned_read_lists_only_touched_files(spark, tmp_path):
     assert len(all_files) > 2
     some = sorted(all_files)[:2]
     pruned = t.read(spark, buckets=some)
-    s = plan(pruned)
-    # the scan's file listing contains only the chosen buckets' paths
-    n_paths = sum(1 for f in t.files if f["bucket"] in set(some))
     assert pruned.count() > 0
+    # the scan's actual file list contains ONLY the chosen buckets' files
     import re
 
-    m = re.findall(r"_bucket=(\d+)", s)
-    assert m, "plan should reference bucket-partitioned file paths"
-    assert {int(x) for x in m} <= set(some), f"scan listed extra buckets: {m}"
-    assert n_paths >= len(set(m))
+    listed = pruned.inputFiles()
+    assert listed
+    buckets_read = {int(re.search(r"_bucket=(\d+)", p).group(1)) for p in listed}
+    assert buckets_read <= set(some), f"scan read extra buckets: {buckets_read}"
+    n_paths = sum(1 for f in t.files if f["bucket"] in set(some))
+    assert len(listed) == n_paths
 
 
 def test_time_travel_and_expiry(spark, tmp_path):
