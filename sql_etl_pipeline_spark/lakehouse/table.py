@@ -316,8 +316,7 @@ class LakeTable:
         out = out.select([f.name for f in schema.fields])
         out = out.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
         new_files = self._write_buckets(out, self.num_buckets)
-        rows = sum(1 for _ in [])  # filled below via file metadata-free count
-        rows = None
+        rows = None  # appends skip a count job; lineage carries None
         self._commit(
             self.files + new_files,
             schema,
