@@ -190,14 +190,15 @@ def run_suite() -> dict:
 
 
 def _calibration_probe(spark) -> float:
-    """Fixed-parallelism (4-task) CPU probe. The sandbox VM's effective CPU
-    swings several-fold over minutes (the same fixed job measured 9.5s to
-    90s across runs); this probe runs the identical 4-way md5 job in every
-    trial, measuring the machine's speed AT THAT MOMENT independent of the
-    parallelism level under test — so trial throughputs can be normalized
-    to a common machine state."""
+    """Single-task CPU probe. The sandbox VM's effective CPU swings
+    several-fold over minutes (the same fixed job measured 9.5s to 90s
+    across runs); this probe runs an identical ONE-task md5 job in every
+    trial, measuring single-core speed AT THAT MOMENT independent of the
+    parallelism level under test (one task never oversubscribes any
+    local[N]), so trial throughputs can be normalized to a common machine
+    state."""
     t0 = time.time()
-    spark.range(8_000_000, numPartitions=4).selectExpr(
+    spark.range(4_000_000, numPartitions=1).selectExpr(
         "sum(length(md5(cast(id as string)))) s"
     ).collect()
     return round(time.time() - t0, 3)
