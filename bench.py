@@ -251,12 +251,17 @@ def run_scaling(levels=(8, 32)) -> dict:
             )
             runs[n].append(json.loads(proc.stdout.strip().splitlines()[-1]))
     best = {n: max(r["events_per_sec"] for r in runs[n]) for n in levels}
-    # Calibration-normalized: scale each trial's throughput by how slow the
-    # machine was during it (probe wall / fastest probe observed), then take
-    # the best normalized trial per level.
-    ref = min(r["calib_s"] for rs in runs.values() for r in rs)
+    # Calibration-normalized, outlier-robust: scale each trial's throughput
+    # by (its probe wall / global MEDIAN probe), then take the MEDIAN
+    # normalized trial per level. (A single wild probe reading — observed:
+    # 18.3s against a 1.6-1.9s norm — would dominate a min/max scheme.)
+    import statistics
+
+    ref = statistics.median(r["calib_s"] for rs in runs.values() for r in rs)
     norm = {
-        n: max(r["events_per_sec"] * (r["calib_s"] / ref) for r in runs[n])
+        n: statistics.median(
+            r["events_per_sec"] * (r["calib_s"] / ref) for r in runs[n]
+        )
         for n in levels
     }
     lo, hi = levels
