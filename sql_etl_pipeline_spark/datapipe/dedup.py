@@ -116,13 +116,19 @@ _SHINGLE_SQL = f"""
 
 
 def _shingle_index(c: DataFrame) -> DataFrame:
-    """Inverted index (doc_id, shingle), shingles distinct per doc."""
+    """Inverted index (doc_id, shingle), shingles distinct per doc.
+
+    Materialized once via localCheckpoint: every dedup query reuses this
+    frame 3-5x (sizes, signatures, both sides of the verify join) and
+    recomputing the tokenize+shingle pipeline per use dominated the wall
+    time (46s -> ~12s for MinHash+LSH at sf0.1). At cluster scale the same
+    role is played by writing the index to a temp table."""
     return c.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(tokens(F.col("text")), _SH_K))).alias(
             "shingle"
         ),
-    )
+    ).localCheckpoint(eager=False)
 
 
 @register(
