@@ -21,6 +21,7 @@ from sql_etl_pipeline_spark.cdc.queries import (  # noqa: E402
     CDC_ORACLE_SQL,
     cdc_apply_engine,
     cdc_apply_lww,
+    cdc_apply_stream,
 )
 
 SMOKE_DIR = "/root/testdata/sf0.001"
@@ -36,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_apply_lww": cdc_apply_lww,
         "cdc_apply_engine": cdc_apply_engine,
+        "cdc_apply_stream": cdc_apply_stream,
     }
     for name, spec in _ANALYTICS.items():
         out[name] = spec.fn
@@ -53,6 +55,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {
         "cdc_apply_lww": CDC_ORACLE_SQL,
         "cdc_apply_engine": CDC_ORACLE_SQL,
+        "cdc_apply_stream": CDC_ORACLE_SQL,
     }
     for name, spec in _ANALYTICS.items():
         if spec.oracle is not None:

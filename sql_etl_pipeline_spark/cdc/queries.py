@@ -108,6 +108,50 @@ def cdc_apply_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full STRUCTURED STREAMING path, oracle-gated: the derived change log
+    is written to a directory, tailed by CdcStreamIngestor (checkpointed
+    micro-batches via maxFilesPerTrigger, batch-id fencing, LSN-guarded
+    merges), and the final LakeTable snapshot is returned. Hash-matching
+    the same SQL oracle proves the streaming engine end-to-end."""
+    from pyspark.sql.types import StructType
+
+    from ..streaming.ingest import CdcStreamIngestor
+
+    ev = derive_change_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc-stream-q-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    log_dir = f"{tmp}/log"
+    # 4 files -> 2 micro-batches (maxFilesPerTrigger=2); modulo split makes
+    # every file span the key space, so batches genuinely collide on keys
+    ev.withColumn("_part", F.pmod(F.col("lsn"), F.lit(4)).cast("int")).repartition(
+        4, "_part"
+    ).drop("_part").write.parquet(log_dir)
+    schema = StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"])
+    table = LakeTable.create(
+        f"{tmp}/table", schema, key_cols=["conv_id", "turn_idx"], num_buckets=8
+    )
+    try:
+        ingestor = CdcStreamIngestor(
+            table,
+            log_dir,
+            f"{tmp}/ckpt",
+            ev.schema,
+            stream_id="q-stream",
+            max_files_per_trigger=2,
+        )
+        ingestor.run_available_now(spark)
+        out = (
+            table.read(spark)
+            .select("conv_id", "turn_idx", "role", "text", "ts")
+            .orderBy("conv_id", "turn_idx")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def cdc_apply_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path: 4 fenced micro-batches -> LakeTable -> snapshot.
 
