@@ -452,3 +452,63 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "segment")
     )
+
+
+# --------------------------------------------------------------------------
+# J8/J11 idiom: consecutive-order gaps via lag windows — the scalable
+# replacement for the reference's self-join / NOT EXISTS pair detection
+# (/root/reference/docs/SQL_EXAMPLES.md:502-551).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_gaps",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+               LAG(CAST(o_orderdate AS DATE)) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS prev_d
+        FROM orders
+    ),
+    gaps AS (
+        SELECT o_custkey, CAST(DATE_DIFF('day', prev_d, d) AS BIGINT) AS gap_days
+        FROM seq WHERE prev_d IS NOT NULL
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+           ROUND(AVG(gap_days), 6) AS avg_gap,
+           CAST(SUM(CASE WHEN gap_days = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS same_day_pairs
+    FROM gaps GROUP BY o_custkey
+    ORDER BY c_custkey
+    """,
+    "consecutive-order gap stats per customer (lag window, not self-join)",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w).alias("prev_d"),
+    )
+    gaps = seq.filter(F.col("prev_d").isNotNull()).select(
+        "o_custkey", F.datediff("d", "prev_d").cast("long").alias("gap_days")
+    )
+    return (
+        gaps.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_gap"),
+            F.max("gap_days").alias("max_gap"),
+            F.round(F.avg("gap_days"), 6).alias("avg_gap"),
+            F.sum(F.when(F.col("gap_days") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("same_day_pairs"),
+        )
+        .orderBy("c_custkey")
+    )

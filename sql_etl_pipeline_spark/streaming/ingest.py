@@ -47,6 +47,8 @@ class CdcStreamIngestor:
         fail_after_merge: bool = False,
         rules: dict | None = None,
         strict_validation: bool = False,
+        compact_every: int | None = None,
+        tombstone_lsn_lag: int | None = None,
     ):
         self.table = table
         self.source_dir = source_dir
@@ -66,6 +68,11 @@ class CdcStreamIngestor:
         # and the batch retries after the data is fixed.
         self.rules = rules
         self.strict_validation = strict_validation
+        # periodic maintenance: every N applied batches, rewrite live
+        # buckets to one file each and purge tombstones below the applied
+        # LSN floor (the engine's rewrite_data_files scheduling, SURVEY §7.2)
+        self.compact_every = compact_every
+        self.tombstone_lsn_lag = tombstone_lsn_lag
         self.batches: list[dict[str, Any]] = []
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -93,6 +100,32 @@ class CdcStreamIngestor:
         if report is not None:
             stats["validation"] = report
         self.batches.append(stats)
+        applied = sum(1 for b in self.batches if b.get("applied"))
+        if (
+            self.compact_every
+            and stats.get("applied")
+            and applied % self.compact_every == 0
+        ):
+            # A tombstone at LSN X may only be purged once no event with
+            # lsn <= X can still arrive; the bound on out-of-order arrival
+            # is the operator's knowledge, expressed as tombstone_lsn_lag:
+            # floor = max applied LSN - lag. Default (None) keeps all
+            # tombstones.
+            floor = None
+            if self.tombstone_lsn_lag is not None:
+                hi = max(
+                    (
+                        r["lsn_max"]
+                        for r in self.table.lineage_records()
+                        if r.get("lsn_max") is not None
+                    ),
+                    default=None,
+                )
+                if hi is not None:
+                    floor = hi - self.tombstone_lsn_lag
+            stats["compacted"] = self.table.compact(
+                spark, purge_tombstones_below_lsn=floor
+            )
         if self.fail_after_merge:
             raise RuntimeError("injected crash between merge commit and checkpoint")
 

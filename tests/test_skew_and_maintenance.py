@@ -1,0 +1,83 @@
+"""Hot-key skew correctness + streaming auto-compaction behavior."""
+
+import pyspark.sql.functions as F
+
+from sql_etl_pipeline_spark.cdc.apply import apply_batch, expected_final_state
+from sql_etl_pipeline_spark.cdc.generate import (
+    TRANSCRIPT_SCHEMA,
+    change_event_schema,
+    generate_change_events,
+)
+from sql_etl_pipeline_spark.lakehouse import LakeTable
+from sql_etl_pipeline_spark.streaming.ingest import CdcStreamIngestor
+
+
+def test_extreme_skew_converges(spark, tmp_path):
+    """~50% of events on ONE conversation (far hotter than the Zipf bench):
+    batched apply must still equal the global LWW oracle."""
+    ev = generate_change_events(spark, 4000, n_convs=50, max_turns=20, skew=8.0)
+    top = (
+        ev.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    )
+    assert top["count"] > 4000 * 0.3, "fixture must actually be skewed"
+
+    table = LakeTable.create(
+        str(tmp_path / "t"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=8,
+    )
+    for i in range(3):
+        apply_batch(table, spark, ev.filter(F.pmod("lsn", F.lit(3)) == i))
+    got = table.read(spark).orderBy("conv_id", "turn_idx").collect()
+    exp = expected_final_state(ev).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_stream_auto_compaction_and_tombstone_purge(spark, tmp_path):
+    ev = generate_change_events(spark, 1500, n_convs=40, delete_frac=0.05)
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+    for i in range(4):
+        ev.filter(F.pmod("lsn", F.lit(4)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp_path / "log"))
+
+    table = LakeTable.create(
+        str(tmp_path / "t"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=4,
+    )
+    ing = CdcStreamIngestor(
+        table,
+        str(tmp_path / "log"),
+        str(tmp_path / "ckpt"),
+        change_event_schema(),
+        max_files_per_trigger=1,
+        compact_every=2,
+        tombstone_lsn_lag=10_000_000,  # huge lag -> purge nothing yet
+    )
+    batches = ing.run_available_now(spark)
+    assert sum(1 for b in batches if b.get("compacted")) == 2
+    # compaction preserved state exactly
+    got = table.refresh().read(spark).orderBy("conv_id", "turn_idx").collect()
+    exp = expected_final_state(ev).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    # with a huge lag no tombstone was purged
+    n_tomb = (
+        table.read(spark, include_deleted=True, include_meta=True)
+        .filter(F.col("deleted"))
+        .count()
+    )
+    assert n_tomb > 0
+
+    # zero lag -> purge all tombstones below the max applied LSN
+    table.compact(spark, purge_tombstones_below_lsn=10**18)
+    assert (
+        table.read(spark, include_deleted=True, include_meta=True)
+        .filter(F.col("deleted"))
+        .count()
+        == 0
+    )
+    got2 = table.read(spark).orderBy("conv_id", "turn_idx").collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in exp]
