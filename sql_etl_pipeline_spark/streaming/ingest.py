@@ -43,6 +43,7 @@ class CdcStreamIngestor:
         stream_id: str = "cdc",
         max_files_per_trigger: int | None = None,
         source_format: str = "parquet",
+        source_options: dict | None = None,
         n_salts: int = 1,
         fail_after_merge: bool = False,
         rules: dict | None = None,
@@ -57,6 +58,7 @@ class CdcStreamIngestor:
         self.stream_id = stream_id
         self.max_files_per_trigger = max_files_per_trigger
         self.source_format = source_format
+        self.source_options = dict(source_options or {})
         self.n_salts = n_salts
         # test hook: simulate a crash AFTER the merge commit but BEFORE the
         # checkpoint advances — the adversarial window for exactly-once.
@@ -136,6 +138,8 @@ class CdcStreamIngestor:
         reader = (
             spark.readStream.schema(self.event_schema).format(self.source_format)
         )
+        for k, v in self.source_options.items():
+            reader = reader.option(k, v)
         if self.max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         stream = reader.load(self.source_dir)

@@ -8,7 +8,7 @@ from sql_etl_pipeline_spark.cdc.generate import (
     change_event_schema,
     generate_change_events,
 )
-from sql_etl_pipeline_spark.functions.io import read_csv, write_csv
+from sql_etl_pipeline_spark.functions.io import _OPTS, read_csv, write_csv
 from sql_etl_pipeline_spark.lakehouse import LakeTable
 from sql_etl_pipeline_spark.streaming.ingest import CdcStreamIngestor
 
@@ -40,15 +40,11 @@ def test_csv_streaming_ingest_matches_oracle(spark, tmp_path):
         str(tmp_path / "ckpt"),
         ev.schema,
         source_format="csv",
+        source_options=_OPTS,
     )
-    # csv source needs the reader options; monkey-wire via spark conf-free
-    # path: the ingestor reads schema-enforced csv with default options, so
-    # rewrite nulls: simplest — assert via normalize=False comparison
     ing.run_available_now(spark)
     got = table.read(spark).orderBy("conv_id", "turn_idx")
     exp = expected_final_state(ev)
     ga = [tuple(r) for r in got.collect()]
     ex = [tuple(r) for r in exp.collect()]
-    # CSV default options may collapse empty-string to null pre-normalize;
-    # the engine normalizes ''->NULL anyway, so final states agree
     assert ga == ex
