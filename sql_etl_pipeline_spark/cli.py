@@ -1,0 +1,139 @@
+"""Command-line entry point — the engine's ``main.py`` parity surface.
+
+Mirrors the reference CLI (``/root/reference/main.py:23-66``:
+``run|test|incremental|status|setup``) with the streaming-native verbs:
+
+    init       create a transcripts LakeTable            (~ setup)
+    apply      apply one batch of change-event files     (~ run)
+    stream     tail a log directory with checkpointing   (~ incremental)
+    status     print per-commit lineage as JSON lines    (~ status)
+    compact    rewrite buckets, optionally purge tombstones
+    vacuum     delete unreferenced data files
+
+Designed for ``spark-submit --py-files sql_etl_pipeline_spark.zip -m ...``
+or plain ``python -m sql_etl_pipeline_spark.cli ...`` locally; the session
+comes from ``session.build_session`` so every scale-relevant conf has one
+home.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .cdc.apply import apply_batch
+from .cdc.generate import TRANSCRIPT_SCHEMA, change_event_schema
+from .lakehouse.table import LakeTable
+from .session import build_session
+from .streaming.ingest import CdcStreamIngestor
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sql_etl_pipeline_spark")
+    p.add_argument("--master", default=None, help="override spark master")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init", help="create an empty transcripts table")
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--buckets", type=int, default=16)
+
+    sp = sub.add_parser("apply", help="apply one batch of change events")
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--events", required=True, help="parquet path of events")
+    sp.add_argument("--fence", default=None, help="stream_id:batch_id")
+    sp.add_argument("--no-normalize", action="store_true")
+
+    sp = sub.add_parser("stream", help="tail a change-log directory")
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--stream-id", default="cdc")
+    sp.add_argument("--max-files", type=int, default=None)
+    sp.add_argument("--format", default="parquet")
+    sp.add_argument("--compact-every", type=int, default=None)
+    sp.add_argument("--tombstone-lsn-lag", type=int, default=None)
+
+    sp = sub.add_parser("status", help="print lineage records")
+    sp.add_argument("--path", required=True)
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--purge-below-lsn", type=int, default=None)
+
+    sp = sub.add_parser("vacuum")
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--expire-keep-last", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+
+    if args.cmd == "status":  # no Spark needed
+        for rec in LakeTable(args.path).lineage_records():
+            print(json.dumps(rec))
+        return 0
+    if args.cmd == "vacuum":
+        t = LakeTable(args.path)
+        expired = (
+            t.expire_snapshots(args.expire_keep_last)
+            if args.expire_keep_last
+            else 0
+        )
+        removed = t.vacuum()
+        print(json.dumps({"snapshots_expired": expired, "files_removed": removed}))
+        return 0
+
+    from pyspark.sql import SparkSession
+
+    # only stop the session if this invocation created it (embedded callers
+    # — tests, notebooks — keep theirs)
+    owned = SparkSession.getActiveSession() is None
+    spark = build_session("cdc-cli", master=args.master)
+    try:
+        if args.cmd == "init":
+            LakeTable.create(
+                args.path,
+                TRANSCRIPT_SCHEMA,
+                key_cols=["conv_id", "turn_idx"],
+                num_buckets=args.buckets,
+            )
+            print(json.dumps({"created": args.path, "buckets": args.buckets}))
+        elif args.cmd == "apply":
+            table = LakeTable(args.path)
+            events = spark.read.schema(change_event_schema()).parquet(args.events)
+            fence = None
+            if args.fence:
+                sid, bid = args.fence.rsplit(":", 1)
+                fence = (sid, int(bid))
+            stats = apply_batch(
+                table, spark, events, fence=fence, normalize=not args.no_normalize
+            )
+            print(json.dumps(stats))
+        elif args.cmd == "stream":
+            table = LakeTable(args.path)
+            ing = CdcStreamIngestor(
+                table,
+                args.source,
+                args.checkpoint,
+                change_event_schema(),
+                stream_id=args.stream_id,
+                max_files_per_trigger=args.max_files,
+                source_format=args.format,
+                compact_every=args.compact_every,
+                tombstone_lsn_lag=args.tombstone_lsn_lag,
+            )
+            for b in ing.run_available_now(spark):
+                print(json.dumps({k: v for k, v in b.items() if k != "validation"}))
+        elif args.cmd == "compact":
+            table = LakeTable(args.path)
+            print(json.dumps(table.compact(spark, args.purge_below_lsn)))
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

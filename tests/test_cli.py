@@ -1,0 +1,64 @@
+"""CLI smoke tests (init -> apply -> stream resume -> status -> compact ->
+vacuum), driving the same code paths spark-submit would."""
+
+import json
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sql_etl_pipeline_spark.cdc.generate import generate_change_events
+from sql_etl_pipeline_spark.cli import main
+from sql_etl_pipeline_spark.lakehouse import LakeTable
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    t = str(tmp_path / "table")
+    log = str(tmp_path / "log")
+    ev = generate_change_events(spark, 400, n_convs=10, delete_frac=0.01).drop("pos")
+    ev.filter(F.col("lsn") < 200).coalesce(1).write.parquet(log)
+    ev.filter(F.col("lsn") >= 200).coalesce(1).write.mode("append").parquet(log)
+
+    assert main(["init", "--path", t, "--buckets", "4"]) == 0
+    assert main(
+        ["apply", "--path", t, "--events", log, "--fence", "manual:0"]
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(out[-1])
+    assert stats["applied"] and stats["events"] == 400
+
+    # replaying the same fence is a no-op
+    assert main(["apply", "--path", t, "--events", log, "--fence", "manual:0"]) == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2 == {"applied": False, "reason": "fenced", "batch_id": 0}
+
+    # streaming over the same log into a fresh table matches
+    t2 = str(tmp_path / "table2")
+    ck = str(tmp_path / "ck")
+    assert main(["init", "--path", t2, "--buckets", "4"]) == 0
+    assert main(
+        [
+            "stream", "--path", t2, "--source", log, "--checkpoint", ck,
+            "--max-files", "1", "--compact-every", "2",
+        ]
+    ) == 0
+    capsys.readouterr()
+
+    a = LakeTable(t).read(spark).orderBy("conv_id", "turn_idx").collect()
+    b = LakeTable(t2).read(spark).orderBy("conv_id", "turn_idx").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    assert main(["status", "--path", t2]) == 0
+    recs = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert any(r["op"] == "merge_cdc" for r in recs)
+    assert any(r["op"] == "compact" for r in recs)
+
+    assert main(["compact", "--path", t]) == 0
+    capsys.readouterr()
+    assert main(["vacuum", "--path", t, "--expire-keep-last", "1"]) == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["files_removed"] >= 0
+    # table still reads after expire+vacuum
+    assert LakeTable(t).read(spark).count() == len(a)
