@@ -211,12 +211,17 @@ class LakeTable:
         include_deleted: bool = False,
         include_meta: bool = False,
         buckets: list[int] | None = None,
+        ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Current snapshot as a DataFrame.
 
         ``buckets`` prunes the scan to the given bucket ids (explicit
-        partition pruning — only those parquet files are listed). The
-        explicit ``.schema(...)`` makes pre-evolution files surface NULLs for
+        partition pruning — only those parquet files are listed).
+        ``ranges`` is ``{col: (lo, hi)}`` — files whose footer min/max for
+        ``col`` fall entirely outside ``[lo, hi]`` are skipped (Iceberg-style
+        file-stat pruning; a residual filter is still applied, so results
+        are exact regardless of stats coverage). The explicit
+        ``.schema(...)`` makes pre-evolution files surface NULLs for
         later-added columns.
         """
         schema = self.schema
@@ -224,11 +229,31 @@ class LakeTable:
         if buckets is not None:
             want = set(buckets)
             sel = [f for f in sel if f["bucket"] in want]
+        if ranges:
+            def overlaps(f: dict[str, Any]) -> bool:
+                for col, (lo, hi) in ranges.items():
+                    st = (f.get("stats") or {}).get(col)
+                    if st is None:
+                        continue  # no stats -> cannot prune this file
+                    if (hi is not None and st["min"] > hi) or (
+                        lo is not None and st["max"] < lo
+                    ):
+                        return False
+                return True
+
+            sel = [f for f in sel if overlaps(f)]
         if not sel:
             df = spark.createDataFrame([], schema)
         else:
             paths = [os.path.join(self.path, f["path"]) for f in sel]
             df = spark.read.schema(schema).parquet(*paths)
+        if ranges:
+            # residual filter: exactness never depends on stats coverage
+            for col, (lo, hi) in ranges.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not include_meta:
@@ -266,10 +291,44 @@ class LakeTable:
         )
 
     # ----------------------------------------------------------------- write
+    #: columns whose per-file min/max go into the commit manifest (Iceberg-
+    #: style file stats; used by ``read(ranges=...)`` to skip files).
+    STATS_COLS = ("conv_id", LSN_COL)
+
+    @staticmethod
+    def _file_stats(full_path: str, cols: tuple[str, ...]) -> dict[str, Any]:
+        """Per-file min/max from the parquet footer (no data read)."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(full_path).metadata
+        except Exception:
+            return {}
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out: dict[str, Any] = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode(), mx.decode()
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if lo is not None:
+                out[c] = {"min": lo, "max": hi}
+        return out
+
     def _write_buckets(self, df: DataFrame, n_buckets_touched: int) -> list[dict[str, Any]]:
         """Write ``df`` (which carries BUCKET_COL) partitioned by bucket under
-        a fresh write id; return file entries. partitionBy keeps each bucket's
-        rows in its own directory so later merges prune by listing."""
+        a fresh write id; return file entries with footer min/max stats.
+        partitionBy keeps each bucket's rows in its own directory so later
+        merges prune by listing."""
         write_id = f"w-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.path, DATA_DIR, write_id)
         # One shuffle partition per touched bucket keeps file counts bounded;
@@ -281,6 +340,7 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
+        stat_cols = tuple(c for c in self.STATS_COLS if c in df.columns)
         entries: list[dict[str, Any]] = []
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith(f"{BUCKET_COL}="):
@@ -288,8 +348,15 @@ class LakeTable:
             b = int(bdir.split("=", 1)[1])
             for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
                 if fn.endswith(".parquet"):
+                    rel = os.path.join(DATA_DIR, write_id, bdir, fn)
                     entries.append(
-                        {"path": os.path.join(DATA_DIR, write_id, bdir, fn), "bucket": b}
+                        {
+                            "path": rel,
+                            "bucket": b,
+                            "stats": self._file_stats(
+                                os.path.join(self.path, rel), stat_cols
+                            ),
+                        }
                     )
         return entries
 

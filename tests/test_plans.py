@@ -122,3 +122,44 @@ def test_time_travel_and_expiry(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         t.at_version(1)
+
+
+def test_file_stat_range_pruning(spark, tmp_path):
+    """Iceberg-style min/max pruning: a conv_id range read skips files whose
+    footer stats fall outside the range, and results stay exact."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sql_etl_pipeline_spark.lakehouse import LakeTable
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("text", StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        str(tmp_path / "t"), schema, key_cols=["conv_id", "turn_idx"], num_buckets=4
+    )
+    rows = [
+        ("I", i + 1, f"conv-{i:04d}", 0, f"txt{i}") for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "op string, lsn long, conv_id string, turn_idx int, text string"
+    )
+    t.merge_cdc(spark, ev)
+    assert any(f.get("stats", {}).get("conv_id") for f in t.files)
+
+    full = t.read(spark)
+    pruned = t.read(spark, ranges={"conv_id": ("conv-0010", "conv-0019")})
+    assert pruned.count() == 10
+    assert len(pruned.inputFiles()) <= len(full.inputFiles())
+    # a range outside all data reads zero files
+    none = t.read(spark, ranges={"conv_id": ("zzz-0", "zzz-9")})
+    assert none.count() == 0
+    assert len(none.inputFiles()) == 0
