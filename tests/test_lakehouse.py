@@ -132,6 +132,10 @@ def test_compaction_purges_tombstones_and_preserves_state(table, spark):
     table.compact(spark, purge_tombstones_below_lsn=100)
     assert _state(table, spark) == s
     assert table.read(spark, include_deleted=True).count() == 1  # tombstone gone
+    # vacuum is time-travel-safe: with all snapshots retained nothing is
+    # removable; after expiry the pre-compaction files reclaim
+    assert table.vacuum() == 0
+    table.expire_snapshots(keep_last=1)
     removed = table.vacuum()
     assert removed > 0
     assert _state(table, spark) == s  # vacuum never changes state
