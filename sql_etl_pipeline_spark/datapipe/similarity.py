@@ -275,3 +275,108 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "cell", F.round("cos", 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ------------------------------------------------- hyperplane-LSH ANN
+
+_N_PLANES = 8
+_LSH_TOPK = 3
+
+
+def _plane_weights() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, generated once in Python
+    (hashlib md5) and embedded as literals in BOTH the Spark plan and the
+    SQL oracle — no engine-side hashing, so the two engines agree exactly."""
+    import hashlib
+
+    planes = []
+    for p in range(_N_PLANES):
+        row = []
+        for d in range(_DIM):
+            h = hashlib.md5(f"{p}-{d}".encode()).hexdigest()
+            row.append(float(int(h[:2], 16)) - 127.5)
+        planes.append(row)
+    return planes
+
+
+def _sql_bucket_expr(emb: str) -> str:
+    planes = _plane_weights()
+    bits = []
+    for p in range(_N_PLANES):
+        arr = "[" + ", ".join(repr(w) for w in planes[p]) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN list_dot_product({emb}, {arr}) > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+def _spark_bucket_expr(emb: Column) -> Column:
+    planes = _plane_weights()
+    bits = []
+    for p in range(_N_PLANES):
+        arr = F.array(*[F.lit(w) for w in planes[p]])
+        bits.append(F.when(dot(emb, arr) > 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+@register(
+    "ann_lsh_hyperplane",
+    f"""
+    WITH e AS ({_EMB}),
+    h AS (SELECT vec_id, emb, {_sql_bucket_expr("emb")} AS bucket FROM e),
+    q AS (SELECT * FROM h WHERE vec_id < 50),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id,
+               {SQL_COS.format(a="q.emb", b="c.emb")} AS cos
+        FROM q JOIN h c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, bucket, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, bucket, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_LSH_TOPK}
+    ORDER BY query_id, rn
+    """,
+    "ANN via random-hyperplane LSH buckets (8-bit sign sketch), top-3 in-bucket",
+)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir)
+    h = e.withColumn("bucket", _spark_bucket_expr(F.col("emb")))
+    q = h.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            h,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("q_bucket").alias("bucket"),
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LSH_TOPK)
+        .select(
+            "query_id",
+            "bucket",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )

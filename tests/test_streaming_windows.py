@@ -148,3 +148,45 @@ def test_conversation_progress_helper_runs(spark, tmp_path):
     rows = latest_progress(spark, "prog2").collect()
     assert 0 < len(rows) <= 5
     assert sum(r.n_events for r in rows) == 100
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Built-in session_window aggregation, streaming vs batch equality."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    src = str(tmp_path / "sess")
+    ev = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        # bursts with >30min gaps between groups of 10
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + (F.col("id") / 10).cast("long") * 3600
+            + (F.col("id") % 10) * 60
+        ).alias("ts"),
+        (F.col("id") % 4).alias("user_id"),
+        F.lit("t").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    ev.write.parquet(src)
+    schema = _parse_datatype_string(EVENT_SCHEMA)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("start"), "user_id", "n")
+    )
+    run_stream_to_memory(out, "sess_t", str(tmp_path / "cks"), output_mode="complete")
+    got = {
+        (r.start, r.user_id): r.n for r in spark.table("sess_t").collect()
+    }
+    exp = {
+        (r.start, r.user_id): r.n
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("start"), "user_id", "n")
+        .collect()
+    }
+    assert got == exp and len(got) > 4
