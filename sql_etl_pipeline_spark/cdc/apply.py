@@ -105,13 +105,21 @@ def apply_batch(
     fence: tuple[str, int] | None = None,
     normalize: bool = True,
     n_salts: int = 1,
+    commit_retries: int = 2,
 ) -> dict:
     """Apply one micro-batch of change events to ``table`` exactly-once.
 
-    The reduced batch is persisted so the plan runs ONCE: touched-bucket
-    discovery, lineage stats, and the merge write all reuse it (previously
-    each action re-ran the full reduce — 3 scans of the raw log per batch).
+    The reduced batch is persisted so the plan runs ONCE, and ONE driver
+    action serves both lineage stats and touched-bucket discovery
+    (collect_set over <= num_buckets ints rides along with the sum/min/max).
+    A ``CommitConflict`` (another writer — e.g. a concurrent compaction —
+    published first) refreshes the snapshot and retries the merge against
+    the new base: the standard optimistic-concurrency loop, bounded by
+    ``commit_retries``. The fence check re-runs on refresh, so a retried
+    batch that the other writer already applied stays exactly-once.
     """
+    from ..lakehouse.table import BUCKET_COL, CommitConflict, _bucket_expr
+
     if fence is not None:
         last = table.summary.get(f"fence:{fence[0]}")
         if last is not None and int(last) >= int(fence[1]):
@@ -119,23 +127,45 @@ def apply_batch(
     prepared = prepare_events(events, normalize=normalize)
     reduced = salted_lww_reduce(
         prepared, table.key_cols, n_salts=n_salts, carry_stats=True
+    ).withColumn(
+        BUCKET_COL, _bucket_expr(table.bucket_cols, table.num_buckets)
     ).persist()
     try:
         st = reduced.agg(
-            F.sum("_cnt").alias("n"), F.min("_lmin").alias("lo"), F.max("_lmax").alias("hi")
+            F.sum("_cnt").alias("n"),
+            F.min("_lmin").alias("lo"),
+            F.max("_lmax").alias("hi"),
+            F.collect_set(BUCKET_COL).alias("buckets"),
         ).collect()[0]
         stats = (
             (int(st["lo"]), int(st["hi"]), int(st["n"]))
             if st["n"] is not None and st["lo"] is not None
             else (None, None, int(st["n"] or 0))
         )
-        return table.merge_cdc(
-            spark,
-            reduced.drop(*STATS_COLS),
-            fence=fence,
-            assume_deduped=True,
-            stats=stats,
-        )
+        touched = [int(b) for b in (st["buckets"] or [])]
+        src = reduced.drop(*STATS_COLS)
+        for attempt in range(commit_retries + 1):
+            try:
+                return table.merge_cdc(
+                    spark,
+                    src,
+                    fence=fence,
+                    assume_deduped=True,
+                    stats=stats,
+                    touched=touched,
+                )
+            except CommitConflict:
+                if attempt == commit_retries:
+                    raise
+                table.refresh()
+                if fence is not None:
+                    last = table.summary.get(f"fence:{fence[0]}")
+                    if last is not None and int(last) >= int(fence[1]):
+                        return {
+                            "applied": False,
+                            "reason": "fenced",
+                            "batch_id": fence[1],
+                        }
     finally:
         reduced.unpersist()
 

@@ -407,6 +407,7 @@ class LakeTable:
         fence: tuple[str, int] | None = None,
         assume_deduped: bool = False,
         stats: tuple[int | None, int | None, int] | None = None,
+        touched: list[int] | None = None,
     ) -> dict[str, Any]:
         """Apply a batch of change events (I/U/D) idempotently.
 
@@ -429,7 +430,10 @@ class LakeTable:
         caller already reduced the batch to one row per key (the streaming
         path does, with salting — see ``cdc.apply``). ``stats=(lo, hi, n)``
         passes the batch's LSN range + raw event count so no extra scan of
-        ``events`` is needed for lineage.
+        ``events`` is needed for lineage. ``touched`` passes the batch's
+        bucket ids when the caller precomputed them (fused into the stats
+        aggregation by ``cdc.apply.apply_batch``), skipping the distinct
+        collect here.
         """
         t0 = time.time()
         keys = self.key_cols
@@ -439,7 +443,9 @@ class LakeTable:
             if last is not None and int(last) >= int(batch_id):
                 return {"applied": False, "reason": "fenced", "batch_id": batch_id}
 
-        payload_cols = [c for c in events.columns if c not in (op_col, lsn_col)]
+        payload_cols = [
+            c for c in events.columns if c not in (op_col, lsn_col, BUCKET_COL)
+        ]
         missing = [k for k in keys if k not in payload_cols]
         if missing:
             raise ValueError(f"events missing key columns {missing}")
@@ -478,11 +484,15 @@ class LakeTable:
             )
 
         # --- 2. explicit partition pruning: which buckets does this batch
-        # touch? (cheap: distinct over <= num_buckets ints) -----------------
+        # touch? (cheap: distinct over <= num_buckets ints; skipped when the
+        # caller fused it into its stats pass) ------------------------------
         src = src.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
-        touched = sorted(
-            r[0] for r in src.select(BUCKET_COL).distinct().collect()
-        )
+        if touched is None:
+            touched = sorted(
+                r[0] for r in src.select(BUCKET_COL).distinct().collect()
+            )
+        else:
+            touched = sorted(set(touched))
         target = self.read(
             spark, include_deleted=True, include_meta=True, buckets=touched
         ).withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))

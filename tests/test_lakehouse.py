@@ -157,3 +157,19 @@ def test_lineage_records(table, spark):
     assert last["lsn_min"] == 5 and last["lsn_max"] == 5
     assert last["batch_fence"] == "s:3"
     assert table.lineage_df(spark).count() == len(recs)
+
+
+def test_commit_conflict_retry_in_apply_batch(table, spark):
+    """apply_batch retries a lost optimistic-concurrency race against the
+    refreshed snapshot and converges (the conflicting writer's data and the
+    batch's data both land)."""
+    from sql_etl_pipeline_spark.cdc.apply import apply_batch
+
+    stale = LakeTable(table.path)  # second handle, same version
+    table.merge_cdc(spark, _events(spark, [("I", 1, "a", 0, "x")]))
+    # 'stale' now loses the race once, then retries on the new base
+    r = apply_batch(
+        stale, spark, _events(spark, [("I", 2, "b", 0, "y")]), normalize=False
+    )
+    assert r["applied"]
+    assert _state(table.refresh(), spark) == {("a", 0): "x", ("b", 0): "y"}
