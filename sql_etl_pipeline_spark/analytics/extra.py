@@ -512,3 +512,73 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# P7: deterministic hash sampling. rand()-based TABLESAMPLE is not
+# reproducible across runs/engines; hashing the key is — and at 100 TB a
+# hash-sample is also consistent across tables (sample the same doc ids
+# everywhere). md5 keeps it portable to the oracle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "documents_hash_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ORDER BY doc_id
+    """,
+    "deterministic 25% hash-sample (reproducible TABLESAMPLE substitute)",
+)
+def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 at scale: approx_count_distinct (HLL). Sketches differ across engines,
+# so the oracle checks the EXACT count plus a tolerance flag: the query
+# asserts |approx - exact| / exact <= 10% (HLL rsd=2%) and emits the
+# boolean — TRUE on both engines iff the sketch behaves.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_users_approx",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_10pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "approx_count_distinct vs exact, verified via tolerance flag",
+)
+def events_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.10
+            ).alias("approx_within_10pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -64,6 +64,15 @@ def _parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("vacuum")
     sp.add_argument("--path", required=True)
     sp.add_argument("--expire-keep-last", type=int, default=None)
+
+    sp = sub.add_parser(
+        "analytics",
+        help="run the analytics suite and export CSVs "
+        "(parity with the reference's sql_query_executor runner)",
+    )
+    sp.add_argument("--sf-dir", required=True, help="directory of input parquet")
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--queries", nargs="*", default=None, help="subset by name")
     return p
 
 
@@ -129,6 +138,23 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             table = LakeTable(args.path)
             print(json.dumps(table.compact(spark, args.purge_below_lsn)))
+        elif args.cmd == "analytics":
+            import time as _time
+
+            from .analytics.queries import QUERIES
+            from .functions.io import write_csv
+
+            names = args.queries or sorted(QUERIES)
+            for name in names:
+                t0 = _time.time()
+                df = QUERIES[name].fn(spark, args.sf_dir)
+                out = f"{args.out_dir.rstrip('/')}/{name}"
+                write_csv(df, out)
+                print(
+                    json.dumps(
+                        {"query": name, "out": out, "sec": round(_time.time() - t0, 2)}
+                    )
+                )
     finally:
         if owned:
             spark.stop()

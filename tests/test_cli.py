@@ -62,3 +62,17 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert v["files_removed"] >= 0
     # table still reads after expire+vacuum
     assert LakeTable(t).read(spark).count() == len(a)
+
+
+def test_cli_analytics_export(spark, tmp_path, capsys):
+    out = str(tmp_path / "results")
+    assert main(
+        [
+            "analytics", "--sf-dir", "/root/testdata/sf0.001",
+            "--out-dir", out, "--queries", "segment_share", "date_dim",
+        ]
+    ) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {r["query"] for r in lines} == {"segment_share", "date_dim"}
+    back = spark.read.option("header", "true").csv(f"{out}/date_dim")
+    assert back.count() == 366
