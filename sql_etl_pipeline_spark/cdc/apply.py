@@ -130,12 +130,15 @@ def apply_batch(
     ).withColumn(
         BUCKET_COL, _bucket_expr(table.bucket_cols, table.num_buckets)
     ).persist()
+    prune_key = table.key_cols[0]
     try:
         st = reduced.agg(
             F.sum("_cnt").alias("n"),
             F.min("_lmin").alias("lo"),
             F.max("_lmax").alias("hi"),
             F.collect_set(BUCKET_COL).alias("buckets"),
+            F.min(prune_key).alias("klo"),
+            F.max(prune_key).alias("khi"),
         ).collect()[0]
         stats = (
             (int(st["lo"]), int(st["hi"]), int(st["n"]))
@@ -143,6 +146,7 @@ def apply_batch(
             else (None, None, int(st["n"] or 0))
         )
         touched = [int(b) for b in (st["buckets"] or [])]
+        key_range = (st["klo"], st["khi"])
         src = reduced.drop(*STATS_COLS)
         for attempt in range(commit_retries + 1):
             try:
@@ -153,6 +157,7 @@ def apply_batch(
                     assume_deduped=True,
                     stats=stats,
                     touched=touched,
+                    key_range=key_range,
                 )
             except CommitConflict:
                 if attempt == commit_retries:

@@ -108,6 +108,24 @@ def cdc_apply_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialize_final(spark: SparkSession, table: LakeTable, tmp: str) -> DataFrame:
+    """Persist the final snapshot as plain parquet and drop the engine's
+    working state (table/log/checkpoint dirs). Returning a read of the
+    copied-out result instead of ``collect()``-ing rows keeps the gate
+    wrapper distributed — at sf >= 1 a driver collect of the full final
+    state would OOM the gate even though the engine itself is fine."""
+    final = f"{tmp}/final"
+    (
+        table.read(spark)
+        .select("conv_id", "turn_idx", "role", "text", "ts")
+        .write.mode("overwrite")
+        .parquet(final)
+    )
+    for sub in ("table", "log", "ckpt"):
+        shutil.rmtree(f"{tmp}/{sub}", ignore_errors=True)
+    return spark.read.parquet(final).orderBy("conv_id", "turn_idx")
+
+
 def cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full STRUCTURED STREAMING path, oracle-gated: the derived change log
     is written to a directory, tailed by CdcStreamIngestor (checkpointed
@@ -141,15 +159,10 @@ def cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_files_per_trigger=2,
         )
         ingestor.run_available_now(spark)
-        out = (
-            table.read(spark)
-            .select("conv_id", "turn_idx", "role", "text", "ts")
-            .orderBy("conv_id", "turn_idx")
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
+        return _materialize_final(spark, table, tmp)
+    except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
 
 def cdc_apply_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,19 +182,13 @@ def cdc_apply_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = StructType([f for f in schema.fields if f.name != "tool"])
     table = LakeTable.create(
-        tmp, schema, key_cols=["conv_id", "turn_idx"], num_buckets=8
+        f"{tmp}/table", schema, key_cols=["conv_id", "turn_idx"], num_buckets=8
     )
     try:
         for i, part in enumerate([2, 0, 3, 1]):  # deliberately out of order
             batch = ev.filter(F.pmod(F.col("lsn"), F.lit(4)) == part)
             apply_batch(table, spark, batch, fence=("q", i), normalize=False)
-        out = (
-            table.read(spark)
-            .select("conv_id", "turn_idx", "role", "text", "ts")
-            .orderBy("conv_id", "turn_idx")
-        )
-        # materialize before deleting the backing files
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
+        return _materialize_final(spark, table, tmp)
+    except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
+        raise

@@ -24,6 +24,7 @@ import sys
 
 from .cdc.apply import apply_batch
 from .cdc.generate import TRANSCRIPT_SCHEMA, change_event_schema
+from .functions.io import _OPTS as _CSV_OPTS
 from .lakehouse.table import LakeTable
 from .session import build_session
 from .streaming.ingest import CdcStreamIngestor
@@ -51,6 +52,14 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("--stream-id", default="cdc")
     sp.add_argument("--max-files", type=int, default=None)
     sp.add_argument("--format", default="parquet")
+    sp.add_argument(
+        "--source-option",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="reader option (repeatable); for --format csv the write_csv "
+        "options (header, nullValue, quoting) are applied by default",
+    )
     sp.add_argument("--compact-every", type=int, default=None)
     sp.add_argument("--tombstone-lsn-lag", type=int, default=None)
 
@@ -64,6 +73,13 @@ def _parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("vacuum")
     sp.add_argument("--path", required=True)
     sp.add_argument("--expire-keep-last", type=int, default=None)
+    sp.add_argument(
+        "--grace-seconds",
+        type=float,
+        default=600.0,
+        help="never delete files younger than this (in-flight writer guard); "
+        "0 only when all writers are quiesced",
+    )
 
     sp = sub.add_parser(
         "analytics",
@@ -90,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.expire_keep_last
             else 0
         )
-        removed = t.vacuum()
+        removed = t.vacuum(grace_seconds=args.grace_seconds)
         print(json.dumps({"snapshots_expired": expired, "files_removed": removed}))
         return 0
 
@@ -122,6 +138,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(stats))
         elif args.cmd == "stream":
             table = LakeTable(args.path)
+            # A CSV log written by functions.io.write_csv must be read with
+            # the matching reader options (header row, \\N as NULL, no
+            # whitespace trimming) — otherwise headers parse as null-key
+            # data rows and \\N arrives as a literal string.
+            source_options = dict(_CSV_OPTS) if args.format == "csv" else {}
+            for kv in args.source_option:
+                k, _, v = kv.partition("=")
+                source_options[k] = v
             ing = CdcStreamIngestor(
                 table,
                 args.source,
@@ -130,6 +154,7 @@ def main(argv: list[str] | None = None) -> int:
                 stream_id=args.stream_id,
                 max_files_per_trigger=args.max_files,
                 source_format=args.format,
+                source_options=source_options,
                 compact_every=args.compact_every,
                 tombstone_lsn_lag=args.tombstone_lsn_lag,
             )

@@ -6,8 +6,10 @@ unique-column duplicate counts, positive/non-negative ranges, business
 rules) onto DataFrames. The reference walks pandas columns in Python; here
 every rule compiles to a conditional aggregate in ONE ``select`` — a single
 scan, map-side combined, no shuffle (global agg), which is what survives
-100 TB. Duplicate checks need a groupBy, so they run as a second (keyed,
-partial-agg) pass only when unique rules exist.
+100 TB. Duplicate checks need a groupBy, so they run as ONE additional
+keyed pass covering every unique column at once (rows explode to
+(column, value) pairs; a single partial-agg'd groupBy counts them all) —
+the pass count stays 2 regardless of how many unique rules exist.
 
 Rule set shape::
 
@@ -85,12 +87,36 @@ def validate(df: DataFrame, rules: dict[str, Any]) -> dict[str, Any]:
 
     uniq = [c for c in rules.get("unique", []) if c in df.columns]
     if uniq:
-        for c in uniq:
-            dups = (
-                df.groupBy(c).count().filter(F.col("count") > 1)
-                .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)))
-                .collect()[0][0]
+        # ONE keyed pass for ALL unique columns: explode each row to
+        # (col_name, value-as-string) pairs, count per pair, sum the excess
+        # per column. String casts keep NULL and are collision-safe because
+        # grouping is per column name.
+        pairs = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("_col"),
+                            F.col(c).cast("string").alias("_val"),
+                        )
+                        for c in uniq
+                    ]
+                )
+            ).alias("p")
+        ).select("p._col", "p._val")
+        per_col = {
+            r["_col"]: r["d"]
+            for r in (
+                pairs.groupBy("_col", "_val")
+                .count()
+                .filter(F.col("count") > 1)
+                .groupBy("_col")
+                .agg(F.sum(F.col("count") - 1).alias("d"))
+                .collect()
             )
+        }
+        for c in uniq:
+            dups = int(per_col.get(c, 0))
             metrics[f"duplicates_{c}"] = dups
             if dups:
                 warnings.append(f"{c}: {dups} duplicate values")

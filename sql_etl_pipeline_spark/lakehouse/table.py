@@ -11,11 +11,13 @@ lake scale:
   conflict), so readers see either the old or the new snapshot, never a mix.
   This is the same optimistic-concurrency protocol Iceberg/Delta use against
   an atomic-rename store.
-* **Hash-bucket partitioning**: data files are grouped by
-  ``pmod(xxhash64(bucket_cols), num_buckets)``. A CDC merge only reads and
-  rewrites the buckets its batch touches — explicit partition pruning, the
-  scale replacement for the reference's B-tree indexes
-  (``/root/reference/sql/schema.sql:248-260``).
+* **Hash-bucket partitioning + file-scoped merges**: data files are grouped
+  by ``pmod(xxhash64(bucket_cols), num_buckets)``. A CDC merge reads and
+  rewrites only the files whose manifest key-range intersects the batch,
+  within only the buckets the batch touches — explicit partition AND file
+  pruning, the scale replacement for the reference's B-tree indexes
+  (``/root/reference/sql/schema.sql:248-260``). Write amplification per
+  batch is bounded by overlapping-file bytes, not table or bucket bytes.
 * **Additive schema evolution**: commits carry the full Spark schema; files
   written before a column existed are read with the current schema and yield
   NULLs (the principled version of the reference's staging-table
@@ -260,6 +262,16 @@ class LakeTable:
             df = df.drop(LSN_COL, DELETED_COL)
         return df
 
+    def _read_file_entries(self, spark: SparkSession, entries: list[dict[str, Any]]) -> DataFrame:
+        """Full, unfiltered read of exactly the given manifest entries with
+        the current schema (file-scoped merge input — no residual filter, so
+        every row of every listed file is carried through the rewrite)."""
+        schema = self.schema
+        if not entries:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f["path"]) for f in entries]
+        return spark.read.schema(schema).parquet(*paths)
+
     def lineage_records(self) -> list[dict[str, Any]]:
         """All per-commit lineage records, oldest first."""
         meta = os.path.join(self.path, META_DIR)
@@ -280,6 +292,7 @@ class LakeTable:
                     r["version"],
                     r.get("op"),
                     r.get("rows_written", 0),
+                    r.get("n_events"),
                     r.get("lsn_min"),
                     r.get("lsn_max"),
                     r.get("batch_fence"),
@@ -287,7 +300,8 @@ class LakeTable:
                 )
                 for r in recs
             ],
-            "version int, op string, rows_written long, lsn_min long, lsn_max long, batch_fence string, wall_s double",
+            "version int, op string, rows_written long, n_events long, "
+            "lsn_min long, lsn_max long, batch_fence string, wall_s double",
         )
 
     # ----------------------------------------------------------------- write
@@ -295,15 +309,22 @@ class LakeTable:
     #: style file stats; used by ``read(ranges=...)`` to skip files).
     STATS_COLS = ("conv_id", LSN_COL)
 
+    def _stat_cols(self) -> tuple[str, ...]:
+        """Manifest-stat columns: always the leading key column (file-level
+        merge pruning keys on it) plus the class defaults."""
+        return tuple(dict.fromkeys([self.key_cols[0], *self.STATS_COLS]))
+
     @staticmethod
-    def _file_stats(full_path: str, cols: tuple[str, ...]) -> dict[str, Any]:
-        """Per-file min/max from the parquet footer (no data read)."""
+    def _file_stats(full_path: str, cols: tuple[str, ...]) -> tuple[dict[str, Any], int]:
+        """Per-file (min/max stats, row count) from the parquet footer —
+        metadata only, no data read. Row counts make exact ``rows_written``
+        lineage free (no extra Spark count job per commit)."""
         try:
             import pyarrow.parquet as pq
 
             md = pq.ParquetFile(full_path).metadata
         except Exception:
-            return {}
+            return {}, 0
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         out: dict[str, Any] = {}
         for c in cols:
@@ -322,13 +343,15 @@ class LakeTable:
                 hi = mx if hi is None else max(hi, mx)
             if lo is not None:
                 out[c] = {"min": lo, "max": hi}
-        return out
+        return out, int(md.num_rows)
 
     def _write_buckets(self, df: DataFrame, n_buckets_touched: int) -> list[dict[str, Any]]:
         """Write ``df`` (which carries BUCKET_COL) partitioned by bucket under
-        a fresh write id; return file entries with footer min/max stats.
-        partitionBy keeps each bucket's rows in its own directory so later
-        merges prune by listing."""
+        a fresh write id; return file entries with footer min/max stats and
+        row counts. partitionBy keeps each bucket's rows in its own directory
+        so later merges prune by listing. Footer reads are metadata-only and
+        fan out on a thread pool — they are driver-serial otherwise and were
+        a measurable slice of the per-commit floor."""
         write_id = f"w-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.path, DATA_DIR, write_id)
         # One shuffle partition per touched bucket keeps file counts bounded;
@@ -340,25 +363,26 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
-        stat_cols = tuple(c for c in self.STATS_COLS if c in df.columns)
-        entries: list[dict[str, Any]] = []
+        stat_cols = tuple(c for c in self._stat_cols() if c in df.columns)
+        rels: list[tuple[str, int]] = []
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith(f"{BUCKET_COL}="):
                 continue
             b = int(bdir.split("=", 1)[1])
             for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
                 if fn.endswith(".parquet"):
-                    rel = os.path.join(DATA_DIR, write_id, bdir, fn)
-                    entries.append(
-                        {
-                            "path": rel,
-                            "bucket": b,
-                            "stats": self._file_stats(
-                                os.path.join(self.path, rel), stat_cols
-                            ),
-                        }
-                    )
-        return entries
+                    rels.append((os.path.join(DATA_DIR, write_id, bdir, fn), b))
+        from concurrent.futures import ThreadPoolExecutor
+
+        def entry(rel_b: tuple[str, int]) -> dict[str, Any]:
+            rel, b = rel_b
+            stats, n_rows = self._file_stats(os.path.join(self.path, rel), stat_cols)
+            return {"path": rel, "bucket": b, "stats": stats, "rows": n_rows}
+
+        if len(rels) <= 1:
+            return [entry(rb) for rb in rels]
+        with ThreadPoolExecutor(max_workers=min(16, len(rels))) as pool:
+            return list(pool.map(entry, rels))
 
     def _evolved_schema(self, source: StructType) -> StructType:
         """Additively merge source columns into the table schema (new columns
@@ -383,14 +407,14 @@ class LakeTable:
         out = out.select([f.name for f in schema.fields])
         out = out.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
         new_files = self._write_buckets(out, self.num_buckets)
-        rows = None  # appends skip a count job; lineage carries None
         self._commit(
             self.files + new_files,
             schema,
             self.summary,
             {
                 "op": op,
-                "rows_written": rows,
+                # exact, from parquet footers — no count job
+                "rows_written": sum(f.get("rows", 0) for f in new_files),
                 "buckets": sorted({f["bucket"] for f in new_files}),
                 "wall_s": round(time.time() - t0, 3),
             },
@@ -408,6 +432,7 @@ class LakeTable:
         assume_deduped: bool = False,
         stats: tuple[int | None, int | None, int] | None = None,
         touched: list[int] | None = None,
+        key_range: tuple[Any, Any] | None = None,
     ) -> dict[str, Any]:
         """Apply a batch of change events (I/U/D) idempotently.
 
@@ -433,7 +458,20 @@ class LakeTable:
         ``events`` is needed for lineage. ``touched`` passes the batch's
         bucket ids when the caller precomputed them (fused into the stats
         aggregation by ``cdc.apply.apply_batch``), skipping the distinct
-        collect here.
+        collect here. ``key_range=(lo, hi)`` passes the batch's min/max of
+        the leading key column for file-level rewrite pruning (below).
+
+        **File-level copy-on-write**: within a touched bucket, only files
+        whose manifest min/max for the leading key column intersects the
+        batch's key range are read and rewritten; disjoint files are carried
+        into the new snapshot unchanged. A file with no stats is always
+        rewritten (conservative). This bounds write amplification by the
+        overlapping-file bytes, not the touched-bucket bytes — the Iceberg
+        merge-on-write file-scoping strategy. Pruning is safe because a file
+        whose key range excludes every batch key cannot contain a row any
+        batch event matches; string ranges compare identically in parquet
+        (unsigned UTF-8 bytes) and Python (codepoints) since UTF-8 is
+        order-preserving.
         """
         t0 = time.time()
         keys = self.key_cols
@@ -483,19 +521,37 @@ class LakeTable:
                 .select("_w.*")
             )
 
-        # --- 2. explicit partition pruning: which buckets does this batch
-        # touch? (cheap: distinct over <= num_buckets ints; skipped when the
-        # caller fused it into its stats pass) ------------------------------
+        # --- 2. explicit partition + file pruning: which buckets does this
+        # batch touch, and which files inside them can its key range reach?
+        # (cheap: one agg over the batch when not fused by the caller) ------
         src = src.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
+        prune_key = self.key_cols[0]
         if touched is None:
-            touched = sorted(
-                r[0] for r in src.select(BUCKET_COL).distinct().collect()
-            )
+            row = src.agg(
+                F.collect_set(BUCKET_COL).alias("b"),
+                F.min(prune_key).alias("klo"),
+                F.max(prune_key).alias("khi"),
+            ).collect()[0]
+            touched = sorted(int(b) for b in (row["b"] or []))
+            key_range = (row["klo"], row["khi"])
         else:
             touched = sorted(set(touched))
-        target = self.read(
-            spark, include_deleted=True, include_meta=True, buckets=touched
-        ).withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
+        in_touched = [f for f in self.files if f["bucket"] in set(touched)]
+        if key_range is not None and key_range[0] is not None:
+            klo, khi = key_range
+
+            def _hit(f: dict[str, Any]) -> bool:
+                st = (f.get("stats") or {}).get(prune_key)
+                if st is None:
+                    return True  # no stats -> must rewrite (conservative)
+                return not (st["min"] > khi or st["max"] < klo)
+
+            rewrite = [f for f in in_touched if _hit(f)]
+        else:
+            rewrite = in_touched
+        target = self._read_file_entries(spark, rewrite).withColumn(
+            BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets)
+        )
 
         # --- 3. LSN-guarded resolution: union + max_by((lsn, pri)) ---------
         # pri: target=1, source=0 -> on equal LSN the already-applied target
@@ -522,7 +578,7 @@ class LakeTable:
             .select("_w.*")
         )
 
-        # --- 4. rewrite only the touched buckets, swap atomically ----------
+        # --- 4. rewrite only the overlapping files, swap atomically --------
         new_files = self._write_buckets(merged, len(touched))
         if stats is None:
             row = events.agg(
@@ -534,7 +590,8 @@ class LakeTable:
                 int(row["n"]),
             )
         lo, hi, n_events = stats
-        keep = [f for f in self.files if f["bucket"] not in set(touched)]
+        doomed = {f["path"] for f in rewrite}
+        keep = [f for f in self.files if f["path"] not in doomed]
         summary = self.summary
         if fence is not None:
             summary[f"fence:{fence[0]}"] = int(fence[1])
@@ -544,7 +601,11 @@ class LakeTable:
             summary,
             {
                 "op": "merge_cdc",
-                "rows_written": n_events,
+                # rows_written = rows physically written (incl. tombstones),
+                # exact and free from the parquet footers; n_events = raw
+                # pre-dedup event count — two fields, two stable meanings.
+                "rows_written": sum(f.get("rows", 0) for f in new_files),
+                "n_events": n_events,
                 "buckets": touched,
                 "lsn_min": lo,
                 "lsn_max": hi,
@@ -556,6 +617,8 @@ class LakeTable:
             "applied": True,
             "events": n_events,
             "buckets_touched": len(touched),
+            "files_rewritten": len(rewrite),
+            "files_kept_in_touched_buckets": len(in_touched) - len(rewrite),
             "files_written": len(new_files),
         }
 
@@ -583,18 +646,24 @@ class LakeTable:
             self.summary,
             {
                 "op": "compact",
-                "rows_written": None,
+                "rows_written": sum(f.get("rows", 0) for f in new_files),
                 "buckets": sorted({f["bucket"] for f in new_files}),
                 "wall_s": round(time.time() - t0, 3),
             },
         )
         return {"files": len(new_files)}
 
-    def vacuum(self) -> int:
+    def vacuum(self, grace_seconds: float = 600.0) -> int:
         """Delete data files referenced by NO retained snapshot (including
         orphans from crashed writes). Time-travel-safe: files needed by any
         commit still on disk survive; run ``expire_snapshots`` first to
-        widen the reclaim set. Returns count removed."""
+        widen the reclaim set. Returns count removed.
+
+        ``grace_seconds`` is the Iceberg-style orphan-file grace period:
+        files younger than it are never deleted, so an in-flight writer's
+        freshly written data (``_write_buckets`` runs BEFORE its commit
+        publishes) survives a concurrent vacuum. Pass 0 only when all
+        writers are known quiesced."""
         meta = os.path.join(self.path, META_DIR)
         live: set[str] = set()
         for name in os.listdir(meta):
@@ -605,6 +674,7 @@ class LakeTable:
                     os.path.join(self.path, f["path"]) for f in commit.get("files", [])
                 }
         removed = 0
+        cutoff = time.time() - grace_seconds
         data_root = os.path.join(self.path, DATA_DIR)
         for wdir in list(os.listdir(data_root)):
             full = os.path.join(data_root, wdir)
@@ -612,7 +682,7 @@ class LakeTable:
             for root, _dirs, files in os.walk(full):
                 for fn in files:
                     p = os.path.join(root, fn)
-                    if p in live:
+                    if p in live or os.path.getmtime(p) > cutoff:
                         keep_any = True
                     elif fn.endswith(".parquet"):
                         os.unlink(p)

@@ -77,6 +77,20 @@ class CdcStreamIngestor:
         self.tombstone_lsn_lag = tombstone_lsn_lag
         self.batches: list[dict[str, Any]] = []
 
+    def _merges_since_last_compact(self) -> int:
+        """Compaction cadence derived from TABLE LINEAGE, not in-memory
+        state: merge commits since the most recent compact commit. Survives
+        stream restarts from checkpoint (an in-memory batch counter would
+        reset every restart, so a stream bounced each N-1 batches would
+        never compact)."""
+        n = 0
+        for rec in reversed(self.table.lineage_records()):
+            if rec.get("op") == "compact":
+                break
+            if rec.get("op") == "merge_cdc":
+                n += 1
+        return n
+
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # refresh: another commit (compaction, a previous fenced batch) may
@@ -102,11 +116,10 @@ class CdcStreamIngestor:
         if report is not None:
             stats["validation"] = report
         self.batches.append(stats)
-        applied = sum(1 for b in self.batches if b.get("applied"))
         if (
             self.compact_every
             and stats.get("applied")
-            and applied % self.compact_every == 0
+            and self._merges_since_last_compact() >= self.compact_every
         ):
             # A tombstone at LSN X may only be purged once no event with
             # lsn <= X can still arrive; the bound on out-of-order arrival
@@ -125,9 +138,23 @@ class CdcStreamIngestor:
                 )
                 if hi is not None:
                     floor = hi - self.tombstone_lsn_lag
-            stats["compacted"] = self.table.compact(
-                spark, purge_tombstones_below_lsn=floor
-            )
+            # Compaction is best-effort maintenance: the batch's merge has
+            # already committed, so a lost optimistic-concurrency race here
+            # must never kill the stream — refresh and retry once, then
+            # defer to the next cadence hit.
+            from ..lakehouse.table import CommitConflict
+
+            for attempt in range(2):
+                try:
+                    stats["compacted"] = self.table.compact(
+                        spark, purge_tombstones_below_lsn=floor
+                    )
+                    break
+                except CommitConflict:
+                    if attempt == 0:
+                        self.table.refresh()
+                    else:
+                        stats["compact_deferred"] = "commit conflict"
         if self.fail_after_merge:
             raise RuntimeError("injected crash between merge commit and checkpoint")
 

@@ -57,7 +57,9 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
 
     assert main(["compact", "--path", t]) == 0
     capsys.readouterr()
-    assert main(["vacuum", "--path", t, "--expire-keep-last", "1"]) == 0
+    assert main(
+        ["vacuum", "--path", t, "--expire-keep-last", "1", "--grace-seconds", "0"]
+    ) == 0
     v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert v["files_removed"] >= 0
     # table still reads after expire+vacuum
@@ -76,3 +78,30 @@ def test_cli_analytics_export(spark, tmp_path, capsys):
     assert {r["query"] for r in lines} == {"segment_share", "date_dim"}
     back = spark.read.option("header", "true").csv(f"{out}/date_dim")
     assert back.count() == 366
+
+
+def test_cli_stream_csv_reads_its_own_format(spark, tmp_path, capsys):
+    """`stream --format csv` must apply the write_csv reader options by
+    default: header rows are not data, \\N round-trips to NULL. (Previously
+    the CLI read headers as null-key rows — silent corruption.)"""
+    from sql_etl_pipeline_spark.cdc.apply import expected_final_state
+    from sql_etl_pipeline_spark.functions.io import write_csv
+
+    ev = generate_change_events(spark, 300, n_convs=8, delete_frac=0.02).drop("pos")
+    log = str(tmp_path / "csvlog")
+    write_csv(ev, log)
+    t = str(tmp_path / "tcsv")
+    assert main(["init", "--path", t, "--buckets", "4"]) == 0
+    assert main(
+        [
+            "stream", "--path", t, "--source", log,
+            "--checkpoint", str(tmp_path / "ckcsv"), "--format", "csv",
+        ]
+    ) == 0
+    capsys.readouterr()
+    got = LakeTable(t).read(spark).orderBy("conv_id", "turn_idx").collect()
+    exp = expected_final_state(ev).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    # NULL fidelity: delete tombstones aside, generated rows with empty text
+    # normalize to NULL, and no row carries the literal string "\\N"
+    assert not any(r.text == "\\N" for r in got)

@@ -134,9 +134,12 @@ def test_compaction_purges_tombstones_and_preserves_state(table, spark):
     assert table.read(spark, include_deleted=True).count() == 1  # tombstone gone
     # vacuum is time-travel-safe: with all snapshots retained nothing is
     # removable; after expiry the pre-compaction files reclaim
-    assert table.vacuum() == 0
+    assert table.vacuum(grace_seconds=0) == 0
     table.expire_snapshots(keep_last=1)
-    removed = table.vacuum()
+    # default grace period protects freshly written files (in-flight writer
+    # guard): even unreferenced, these young files survive a no-arg vacuum
+    assert table.vacuum() == 0
+    removed = table.vacuum(grace_seconds=0)
     assert removed > 0
     assert _state(table, spark) == s  # vacuum never changes state
 

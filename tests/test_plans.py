@@ -115,7 +115,7 @@ def test_time_travel_and_expiry(spark, tmp_path):
 
     removed = t.expire_snapshots(keep_last=2)
     assert removed == 3
-    t.vacuum()
+    t.vacuum(grace_seconds=0)
     # current snapshot still fully readable after expiry+vacuum
     assert t.refresh().read(spark).count() == 4
     import pytest

@@ -81,3 +81,57 @@ def test_stream_auto_compaction_and_tombstone_purge(spark, tmp_path):
     )
     got2 = table.read(spark).orderBy("conv_id", "turn_idx").collect()
     assert [tuple(r) for r in got2] == [tuple(r) for r in exp]
+
+
+def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
+    """File-level copy-on-write: a narrow-key batch rewrites only the files
+    whose manifest key range intersects it, not every file in its touched
+    buckets — the write-amplification bound that survives 100x scale."""
+    table = LakeTable.create(
+        str(tmp_path / "t"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=2,
+    )
+
+    def events(prefix, n, lsn0):
+        rows = [
+            ("I", lsn0 + i, f"{prefix}{i:03d}", 0, "user", f"text {prefix}{i}", None, None)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "op string, lsn long, conv_id string, turn_idx int, role string, "
+            "text string, tool string, ts timestamp",
+        )
+
+    # two disjoint key-range writes -> each bucket holds files from both
+    apply_batch(table, spark, events("a", 20, 100), normalize=False)
+    apply_batch(table, spark, events("z", 20, 200), normalize=False)
+    files_per_bucket = {}
+    for f in table.files:
+        files_per_bucket.setdefault(f["bucket"], []).append(f)
+    assert all(len(v) >= 2 for v in files_per_bucket.values())
+
+    # narrow update touching one key: only that key's bucket AND only the
+    # z-range file(s) in it may rewrite
+    res = apply_batch(
+        table,
+        spark,
+        events("z", 1, 300).filter(F.col("conv_id") == "z000"),
+        normalize=False,
+    )
+    assert res["buckets_touched"] == 1
+    files_in_touched = res["files_rewritten"] + res["files_kept_in_touched_buckets"]
+    assert res["files_kept_in_touched_buckets"] >= 1
+    assert res["files_rewritten"] < files_in_touched
+
+    # and the state is exactly what a full replay says it should be
+    all_ev = (
+        events("a", 20, 100)
+        .unionByName(events("z", 20, 200))
+        .unionByName(events("z", 1, 300).filter(F.col("conv_id") == "z000"))
+    )
+    got = table.read(spark).orderBy("conv_id", "turn_idx").collect()
+    exp = expected_final_state(all_ev, normalize=False).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
