@@ -582,3 +582,77 @@ def events_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Materialized-view refresh as a first-class, oracle-gated path (S13).
+# Reference: daily_sales_summary rebuilt by staged DELETE+INSERT
+# (/root/reference/sql/etl_transformations.sql:281-306); here the summary
+# lives in a LakeTable and `maintain.refresh_summary` swaps its full
+# contents in ONE atomic commit. The gated query runs the real engine path:
+# create summary table -> refresh from the orders aggregation (twice, to
+# prove refresh replaces rather than appends) -> read the table back.
+# --------------------------------------------------------------------------
+@register(
+    "daily_sales_summary_mv",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS sale_date,
+           CAST(COUNT(*) AS BIGINT) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_customers
+    FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ORDER BY sale_date
+    """,
+    "daily sales summary table maintained via atomic MV refresh",
+)
+def daily_sales_summary_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..lakehouse import LakeTable
+    from ..lakehouse.maintain import refresh_summary
+
+    schema = StructType(
+        [
+            StructField("sale_date", DateType(), False),
+            StructField("order_count", LongType(), True),
+            StructField("revenue", DoubleType(), True),
+            StructField("unique_customers", LongType(), True),
+        ]
+    )
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderdate").cast("date").alias("sale_date")).agg(
+            F.count("*").alias("order_count"),
+            dsum(money("o_totalprice")).alias("revenue"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="mv-q-")
+    shutil.rmtree(f"{tmp}/table", ignore_errors=True)
+    table = LakeTable.create(
+        f"{tmp}/table", schema, key_cols=["sale_date"], num_buckets=4
+    )
+    try:
+        # first refresh from a stale partial input, second from the full
+        # table: the gate only matches the oracle if refresh REPLACES
+        refresh_summary(table, spark, summarize(orders.limit(1000)))
+        refresh_summary(table, spark, summarize(orders))
+        final = f"{tmp}/final"
+        table.read(spark).drop("last_lsn", "deleted").write.mode(
+            "overwrite"
+        ).parquet(final)
+        shutil.rmtree(f"{tmp}/table", ignore_errors=True)
+        return spark.read.parquet(final).orderBy("sale_date")
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

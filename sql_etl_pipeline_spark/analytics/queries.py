@@ -126,17 +126,26 @@ def customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_order_value"),
         )
     )
+    from .ranking import with_exact_ntile
+
     w_seg = Window.partitionBy("c_mktsegment").orderBy(F.desc("ltv"), F.asc("c_custkey"))
-    w_all = Window.orderBy(F.desc("ltv"), F.asc("c_custkey"))
+    # global decile via scale-safe exact NTILE (bucketed row numbers +
+    # broadcast offsets — no single-partition WindowExec stage); the
+    # upstream agg is persisted because the helper runs one counting job.
+    agg = agg.persist()
+    tiled = with_exact_ntile(agg, 10, [("ltv", False), ("c_custkey", True)], "ltv_decile")
     return (
-        agg.withColumn("segment_rank", F.rank().over(w_seg))
-        .withColumn("ltv_decile", F.ntile(10).over(w_all))
+        tiled.withColumn("segment_rank", F.rank().over(w_seg))
         .withColumn(
             "value_tier",
             F.when(F.col("ltv") >= 300000, "Platinum")
             .when(F.col("ltv") >= 150000, "Gold")
             .when(F.col("ltv") >= 50000, "Silver")
             .otherwise("Bronze"),
+        )
+        .select(
+            "c_custkey", "c_name", "c_mktsegment", "order_count", "ltv",
+            "avg_order_value", "segment_rank", "ltv_decile", "value_tier",
         )
         .orderBy(F.desc("ltv"), F.asc("c_custkey"))
         .limit(100)
@@ -235,9 +244,14 @@ def product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q3. Sales trends — reference :234-319: monthly rollup + LAG MoM (W5),
-# 3-month moving average (W7), per-year running total (W8). Window sums go
-# through decimal too: sliding-frame double sums are NOT order-stable
-# across engines (DuckDB uses segment trees).
+# long-offset LAG(12) YoY (reference sql/complex_queries.sql:167-173),
+# LEAD next-month (W6, docs/SQL_EXAMPLES.md:137), 3-month moving average
+# (W7), per-year running total (W8), DENSE_RANK of months within year (W3,
+# sql/complex_queries.sql:191). Window sums go through decimal too:
+# sliding-frame double sums are NOT order-stable across engines (DuckDB
+# uses segment trees). The global ORDER BY month windows are safe at any
+# table size: the frame has one row per month (bounded by calendar time),
+# unlike per-customer/per-part frames which scale with the data.
 # --------------------------------------------------------------------------
 @register(
     "sales_trends",
@@ -254,6 +268,14 @@ def product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN LAG(revenue) OVER (ORDER BY month) <> 0
                 THEN 100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
                      / LAG(revenue) OVER (ORDER BY month) END AS mom_growth_pct,
+           LAG(revenue, 12) OVER (ORDER BY month) AS prev_year_revenue,
+           CASE WHEN LAG(revenue, 12) OVER (ORDER BY month) <> 0
+                THEN 100.0 * (revenue - LAG(revenue, 12) OVER (ORDER BY month))
+                     / LAG(revenue, 12) OVER (ORDER BY month) END AS yoy_growth_pct,
+           LEAD(revenue) OVER (ORDER BY month) AS next_month_revenue,
+           CAST(DENSE_RANK() OVER (PARTITION BY EXTRACT(YEAR FROM month)
+                                   ORDER BY revenue DESC) AS BIGINT)
+               AS month_rank_in_year,
            CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER
                     (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
                / COUNT(*) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -291,6 +313,23 @@ def sales_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("revenue") - F.col("prev_month_revenue"))
                 / F.col("prev_month_revenue"),
             ),
+        )
+        .withColumn("prev_year_revenue", F.lag("revenue", 12).over(w))
+        .withColumn(
+            "yoy_growth_pct",
+            F.when(
+                F.col("prev_year_revenue") != 0,
+                100.0
+                * (F.col("revenue") - F.col("prev_year_revenue"))
+                / F.col("prev_year_revenue"),
+            ),
+        )
+        .withColumn("next_month_revenue", F.lead("revenue").over(w))
+        .withColumn(
+            "month_rank_in_year",
+            F.dense_rank()
+            .over(Window.partitionBy(F.year("month")).orderBy(F.desc("revenue")))
+            .cast("long"),
         )
         .withColumn(
             "moving_avg_3m",
@@ -418,16 +457,20 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money("o_totalprice")).alias("monetary"),
         )
     )
-    scored = (
-        rfm.withColumn(
-            "r_score", F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("c_custkey")))
-        )
-        .withColumn(
-            "f_score", F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("c_custkey")))
-        )
-        .withColumn(
-            "m_score", F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("c_custkey")))
-        )
+    from .ranking import with_exact_ntile
+
+    # three scale-safe exact NTILE(5)s (bucketed row numbers + broadcast
+    # offsets; zero single-partition windows) — reference semantics
+    # (/root/reference/src/sql_query_executor.py:471-479) at cluster scale.
+    rfm = rfm.persist()
+    scored = with_exact_ntile(
+        rfm, 5, [("recency_days", True), ("c_custkey", True)], "r_score"
+    )
+    scored = with_exact_ntile(
+        scored, 5, [("frequency", False), ("c_custkey", True)], "f_score"
+    )
+    scored = with_exact_ntile(
+        scored, 5, [("monetary", False), ("c_custkey", True)], "m_score"
     )
     return (
         scored.withColumn(

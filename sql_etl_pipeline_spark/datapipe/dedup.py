@@ -12,7 +12,11 @@ Scale notes (the 100 TB story):
 * exact dedup is a hash-groupBy on ``md5(normalized text)`` — one shuffle
   of (hash, id), map-side combined;
 * n-gram Jaccard joins an inverted shingle index with itself — quadratic in
-  docs-per-shingle, so it is the *verifier*, not the candidate generator;
+  docs-per-shingle. Two defenses: a document-frequency cap (shingles in
+  more than ``_DF_CAP`` docs leave the Jaccard universe, bounding any one
+  shingle's join cost at DF_CAP² at a documented recall trade), and using
+  the banded MinHash path as the candidate generator at scale with this as
+  the *verifier*;
 * MinHash+LSH is the candidate generator at scale: 16 portable min-hashes,
   4 bands of 4 → band-bucket self-join touches only probable pairs, then
   exact Jaccard verifies. Cost is linear in docs + output pairs;
@@ -131,11 +135,26 @@ def _shingle_index(c: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
+#: document-frequency cap: shingles present in more than this many documents
+#: are dropped from the Jaccard universe. An inverted-index self-join is
+#: quadratic in docs-per-shingle, so ONE stopword-like shingle shared by m
+#: docs costs m^2 join rows; capping bounds the per-shingle cost at DF_CAP^2
+#: and makes the exact path linear-ish in corpus size. Recall tradeoff:
+#: pairs similar ONLY through ultra-common (low-information) shingles are
+#: missed — the standard trade in near-dup mining; both engines apply the
+#: identical cap so the oracle comparison stays exact.
+_DF_CAP = 100
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     WITH corpus AS ({CORPUS_SQL}),
-    sh AS ({_SHINGLE_SQL}),
+    sh0 AS ({_SHINGLE_SQL}),
+    hot AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > {_DF_CAP}
+    ),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -152,10 +171,20 @@ def _shingle_index(c: DataFrame) -> DataFrame:
           >= {_JACCARD_MIN}
     ORDER BY doc_a, doc_b
     """,
-    "near-dup pairs by word-3-shingle Jaccard >= 0.5 (exact inverted index)",
+    f"near-dup pairs by word-3-shingle Jaccard >= 0.5 (exact inverted index, "
+    f"shingle document-frequency capped at {_DF_CAP})",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_index(corpus(spark, sf_dir))
+    sh0 = _shingle_index(corpus(spark, sf_dir))
+    # df-cap: the hot list is tiny by definition (few shingles can exceed
+    # DF_CAP docs) -> broadcast anti-join prunes the index in one map stage
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

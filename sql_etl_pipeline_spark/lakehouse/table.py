@@ -58,6 +58,26 @@ class CommitConflict(RuntimeError):
     """Another writer published the same commit version first."""
 
 
+def _stat_value(v):
+    """Normalize a min/max statistic to a JSON-storable value whose Python
+    comparison order matches the column's logical order: bytes decode to
+    str (UTF-8 preserves order), date/datetime map to ISO-8601 strings
+    (lexicographic == chronological). Unsupported types return None (no
+    stats -> pruning stays conservative)."""
+    import datetime
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode()
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (str, int, float, bool)):
+        return v
+    return None
+
+
 def _bucket_expr(bucket_cols: list[str], num_buckets: int):
     """Deterministic bucket id for a row; hot keys spread across buckets by
     hashing the full bucket key."""
@@ -237,8 +257,9 @@ class LakeTable:
                     st = (f.get("stats") or {}).get(col)
                     if st is None:
                         continue  # no stats -> cannot prune this file
-                    if (hi is not None and st["min"] > hi) or (
-                        lo is not None and st["max"] < lo
+                    lo_n, hi_n = _stat_value(lo), _stat_value(hi)
+                    if (hi_n is not None and st["min"] > hi_n) or (
+                        lo_n is not None and st["max"] < lo_n
                     ):
                         return False
                 return True
@@ -336,9 +357,10 @@ class LakeTable:
                 if st is None or not st.has_min_max:
                     lo = hi = None
                     break
-                mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    mn, mx = mn.decode(), mx.decode()
+                mn, mx = _stat_value(st.min), _stat_value(st.max)
+                if mn is None or mx is None:
+                    lo = hi = None
+                    break
                 lo = mn if lo is None else min(lo, mn)
                 hi = mx if hi is None else max(hi, mx)
             if lo is not None:
@@ -537,8 +559,11 @@ class LakeTable:
         else:
             touched = sorted(set(touched))
         in_touched = [f for f in self.files if f["bucket"] in set(touched)]
+        klo = khi = None
         if key_range is not None and key_range[0] is not None:
-            klo, khi = key_range
+            # same normalization as the manifest stats (dates -> ISO strings)
+            klo, khi = _stat_value(key_range[0]), _stat_value(key_range[1])
+        if klo is not None and khi is not None:
 
             def _hit(f: dict[str, Any]) -> bool:
                 st = (f.get("stats") or {}).get(prune_key)

@@ -50,6 +50,7 @@ class CdcStreamIngestor:
         strict_validation: bool = False,
         compact_every: int | None = None,
         tombstone_lsn_lag: int | None = None,
+        transform=None,
     ):
         self.table = table
         self.source_dir = source_dir
@@ -75,6 +76,14 @@ class CdcStreamIngestor:
         # LSN floor (the engine's rewrite_data_files scheduling, SURVEY §7.2)
         self.compact_every = compact_every
         self.tombstone_lsn_lag = tombstone_lsn_lag
+        # per-batch enrichment hook (DataFrame -> DataFrame), applied inside
+        # foreachBatch BEFORE validation and merge. The canonical use is
+        # dimension-key resolution — broadcast-join a dimension to swap
+        # business keys for surrogate keys before the fact upsert, the
+        # pattern the reference stages in SQL
+        # (/root/reference/sql/etl_transformations.sql:150-152,184-185).
+        # Must be deterministic: a replayed batch re-runs it.
+        self.transform = transform
         self.batches: list[dict[str, Any]] = []
 
     def _merges_since_last_compact(self) -> int:
@@ -96,6 +105,8 @@ class CdcStreamIngestor:
         # refresh: another commit (compaction, a previous fenced batch) may
         # have advanced the table since this handle loaded.
         self.table.refresh()
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
         report = None
         if self.rules is not None:
             from ..functions.validate import validate

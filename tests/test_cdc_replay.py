@@ -188,3 +188,55 @@ def test_schema_evolution_mid_log(spark, tmp_path):
     assert got == spark_oracle_state(full)
     # at least one post-evolution row actually carries a tool value
     assert any(t is not None for (_, _, _, _, t) in got)
+
+
+def test_dimension_key_resolution_in_foreachbatch(spark, tmp_path):
+    """J6: business->surrogate key swap via a broadcast dimension join
+    INSIDE foreachBatch, before the fact merge (the reference stages this
+    in SQL, sql/etl_transformations.sql:150-152). The ingestor's transform
+    hook carries the join; exactly-once and LWW semantics are unchanged."""
+    ev = generate_change_events(spark, 1200, n_convs=20, delete_frac=0.02)
+    # dimension: business conv_id -> surrogate id (tiny -> broadcast)
+    dim = (
+        ev.select("conv_id")
+        .distinct()
+        .withColumn(
+            "surrogate_id",
+            F.concat(F.lit("sk-"), F.substring("conv_id", -3, 3)),
+        )
+    )
+    dim_pd = dim.toPandas()  # freeze so both paths resolve identically
+    dim_frozen = spark.createDataFrame(dim_pd)
+
+    def resolve(batch):
+        return (
+            batch.join(F.broadcast(dim_frozen), "conv_id", "left")
+            .withColumn("conv_id", F.coalesce("surrogate_id", "conv_id"))
+            .drop("surrogate_id")
+        )
+
+    log_dir = str(tmp_path / "log")
+    for i in range(3):
+        ev.filter(F.pmod("lsn", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(log_dir)
+    table = LakeTable.create(
+        str(tmp_path / "t"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=4,
+    )
+    ing = CdcStreamIngestor(
+        table,
+        log_dir,
+        str(tmp_path / "ckpt"),
+        change_event_schema(),
+        max_files_per_trigger=1,
+        transform=resolve,
+    )
+    ing.run_available_now(spark)
+
+    got = table.read(spark).orderBy("conv_id", "turn_idx").collect()
+    exp = expected_final_state(resolve(ev)).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    assert all(r.conv_id.startswith("sk-") for r in got)

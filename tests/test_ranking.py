@@ -1,0 +1,48 @@
+"""Scale-safe exact NTILE == Spark's single-partition NTILE, bit for bit."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from sql_etl_pipeline_spark.analytics.ranking import (
+    with_exact_ntile,
+    with_global_row_number,
+)
+
+
+def _fixture(spark, n):
+    # deterministic values incl. negatives, duplicates, and wide magnitudes
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (
+            F.when(F.col("id") % 7 == 0, F.lit(-3.5))
+            .when(F.col("id") % 5 == 0, F.lit(0.0))
+            .otherwise((F.pmod(F.xxhash64("id"), F.lit(10_000)) * 37.5) - 1000)
+        ).alias("v"),
+    )
+
+
+@pytest.mark.parametrize("n,k", [(97, 10), (100, 5), (3, 10), (1, 4), (250, 7)])
+def test_exact_ntile_matches_window_ntile(spark, n, k):
+    df = _fixture(spark, n)
+    for asc in (True, False):
+        got = with_exact_ntile(df, k, [("v", asc), ("k", True)], "tile")
+        order = [F.asc("v") if asc else F.desc("v"), F.asc("k")]
+        exp = df.withColumn("tile", F.ntile(k).over(Window.orderBy(*order)))
+        g = {r.k: r.tile for r in got.collect()}
+        e = {r.k: r.tile for r in exp.collect()}
+        assert g == e
+
+
+def test_global_row_number_is_exact(spark):
+    df = _fixture(spark, 200)
+    out, n = with_global_row_number(df, [("v", True), ("k", True)], "rn")
+    assert n == 200
+    rows = sorted(((r.v, r.k), r.rn) for r in out.collect())
+    assert [rn for _, rn in rows] == list(range(1, 201))
+
+
+def test_null_sort_key_rejected(spark):
+    df = spark.createDataFrame([(1, None), (2, 3.0)], "k int, v double")
+    with pytest.raises(ValueError, match="NULL"):
+        with_global_row_number(df, [("v", True), ("k", True)])
