@@ -98,6 +98,91 @@ def prepare_events(events: DataFrame, normalize: bool = True) -> DataFrame:
     return out
 
 
+def _reduce_with_stats(
+    table: LakeTable,
+    events: DataFrame,
+    normalize: bool = True,
+    n_salts: int = 1,
+) -> tuple[DataFrame, tuple, list[int], tuple]:
+    """Run the batch's table-independent half: normalize -> LWW reduce ->
+    persist, plus ONE driver action serving lineage stats, touched-bucket
+    discovery AND key-range discovery (collect_set over <= num_buckets ints
+    rides along with the sum/min/max). Returns
+    ``(reduced_persisted, stats, touched, key_range)``; caller owns the
+    unpersist. Depends only on the log slice and the table's static layout
+    (keys/buckets), never its snapshot — so it can run concurrently with an
+    earlier batch's merge (see ``apply_batches_pipelined``)."""
+    from ..lakehouse.table import BUCKET_COL, _bucket_expr
+
+    prepared = prepare_events(events, normalize=normalize)
+    reduced = salted_lww_reduce(
+        prepared, table.key_cols, n_salts=n_salts, carry_stats=True
+    ).withColumn(
+        BUCKET_COL, _bucket_expr(table.bucket_cols, table.num_buckets)
+    ).persist()
+    prune_key = table.key_cols[0]
+    st = reduced.agg(
+        F.sum("_cnt").alias("n"),
+        F.min("_lmin").alias("lo"),
+        F.max("_lmax").alias("hi"),
+        F.collect_set(BUCKET_COL).alias("buckets"),
+        F.min(prune_key).alias("klo"),
+        F.max(prune_key).alias("khi"),
+    ).collect()[0]
+    stats = (
+        (int(st["lo"]), int(st["hi"]), int(st["n"]))
+        if st["n"] is not None and st["lo"] is not None
+        else (None, None, int(st["n"] or 0))
+    )
+    touched = [int(b) for b in (st["buckets"] or [])]
+    key_range = (st["klo"], st["khi"])
+    return reduced, stats, touched, key_range
+
+
+def _merge_reduced(
+    table: LakeTable,
+    spark: SparkSession,
+    reduced: DataFrame,
+    fence: tuple[str, int] | None,
+    stats: tuple,
+    touched: list[int],
+    key_range: tuple,
+    commit_retries: int = 2,
+) -> dict:
+    """LSN-guarded merge of an already-reduced batch, with the optimistic-
+    concurrency retry loop. A ``CommitConflict`` (another writer — e.g. a
+    concurrent compaction — published first) refreshes the snapshot and
+    retries the merge against the new base, bounded by ``commit_retries``.
+    The fence check re-runs on refresh, so a retried batch that the other
+    writer already applied stays exactly-once."""
+    from ..lakehouse.table import CommitConflict
+
+    src = reduced.drop(*STATS_COLS)
+    for attempt in range(commit_retries + 1):
+        try:
+            return table.merge_cdc(
+                spark,
+                src,
+                fence=fence,
+                assume_deduped=True,
+                stats=stats,
+                touched=touched,
+                key_range=key_range,
+            )
+        except CommitConflict:
+            if attempt == commit_retries:
+                raise
+            table.refresh()
+            if fence is not None:
+                last = table.summary.get(f"fence:{fence[0]}")
+                if last is not None and int(last) >= int(fence[1]):
+                    return {
+                        "applied": False,
+                        "reason": "fenced",
+                        "batch_id": fence[1],
+                    }
+
+
 def apply_batch(
     table: LakeTable,
     spark: SparkSession,
@@ -109,70 +194,85 @@ def apply_batch(
 ) -> dict:
     """Apply one micro-batch of change events to ``table`` exactly-once.
 
-    The reduced batch is persisted so the plan runs ONCE, and ONE driver
-    action serves both lineage stats and touched-bucket discovery
-    (collect_set over <= num_buckets ints rides along with the sum/min/max).
-    A ``CommitConflict`` (another writer — e.g. a concurrent compaction —
-    published first) refreshes the snapshot and retries the merge against
-    the new base: the standard optimistic-concurrency loop, bounded by
-    ``commit_retries``. The fence check re-runs on refresh, so a retried
-    batch that the other writer already applied stays exactly-once.
+    The reduced batch is persisted so the plan runs ONCE
+    (``_reduce_with_stats``), then merged under the LSN guard with
+    conflict retries (``_merge_reduced``).
     """
-    from ..lakehouse.table import BUCKET_COL, CommitConflict, _bucket_expr
-
     if fence is not None:
         last = table.summary.get(f"fence:{fence[0]}")
         if last is not None and int(last) >= int(fence[1]):
             return {"applied": False, "reason": "fenced", "batch_id": fence[1]}
-    prepared = prepare_events(events, normalize=normalize)
-    reduced = salted_lww_reduce(
-        prepared, table.key_cols, n_salts=n_salts, carry_stats=True
-    ).withColumn(
-        BUCKET_COL, _bucket_expr(table.bucket_cols, table.num_buckets)
-    ).persist()
-    prune_key = table.key_cols[0]
+    reduced, stats, touched, key_range = _reduce_with_stats(
+        table, events, normalize=normalize, n_salts=n_salts
+    )
     try:
-        st = reduced.agg(
-            F.sum("_cnt").alias("n"),
-            F.min("_lmin").alias("lo"),
-            F.max("_lmax").alias("hi"),
-            F.collect_set(BUCKET_COL).alias("buckets"),
-            F.min(prune_key).alias("klo"),
-            F.max(prune_key).alias("khi"),
-        ).collect()[0]
-        stats = (
-            (int(st["lo"]), int(st["hi"]), int(st["n"]))
-            if st["n"] is not None and st["lo"] is not None
-            else (None, None, int(st["n"] or 0))
+        return _merge_reduced(
+            table, spark, reduced, fence, stats, touched, key_range, commit_retries
         )
-        touched = [int(b) for b in (st["buckets"] or [])]
-        key_range = (st["klo"], st["khi"])
-        src = reduced.drop(*STATS_COLS)
-        for attempt in range(commit_retries + 1):
-            try:
-                return table.merge_cdc(
-                    spark,
-                    src,
-                    fence=fence,
-                    assume_deduped=True,
-                    stats=stats,
-                    touched=touched,
-                    key_range=key_range,
-                )
-            except CommitConflict:
-                if attempt == commit_retries:
-                    raise
-                table.refresh()
-                if fence is not None:
-                    last = table.summary.get(f"fence:{fence[0]}")
-                    if last is not None and int(last) >= int(fence[1]):
-                        return {
-                            "applied": False,
-                            "reason": "fenced",
-                            "batch_id": fence[1],
-                        }
     finally:
         reduced.unpersist()
+
+
+def apply_batches_pipelined(
+    table: LakeTable,
+    spark: SparkSession,
+    batches: list[DataFrame],
+    stream_id: str = "replay",
+    first_batch_id: int = 0,
+    normalize: bool = True,
+    n_salts: int = 1,
+    commit_retries: int = 2,
+) -> list[dict]:
+    """Apply an ordered sequence of micro-batches with one-batch lookahead.
+
+    Merges MUST serialize (batch i+1's LSN-guarded resolution reads the
+    snapshot batch i publishes), but each batch's reduce half is a pure
+    function of its log slice — so while batch i's merge/write/commit runs,
+    batch i+1's normalize + LWW reduce + stats action runs concurrently on
+    a prefetch thread, sharing the same Spark scheduler. This hides the
+    per-batch driver-serial floor (plan compilation, manifest listing,
+    footer stat reads, commit publish) under the previous batch's cluster
+    compute — the floor was measured at ~2-3 s/batch and is the dominant
+    scaling-efficiency cost for small micro-batches; on a 1000-executor
+    cluster the same overlap keeps executors busy during the driver's
+    commit turnaround.
+
+    Exactly-once semantics are IDENTICAL to a serial ``apply_batch`` loop:
+    fences are still checked (and re-checked under conflict retry) at merge
+    time, in order. The replay/backfill path uses this; the continuous
+    streaming path (``CdcStreamIngestor``) receives batches one at a time
+    from Structured Streaming and keeps the serial call.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    results: list[dict] = []
+    with ThreadPoolExecutor(max_workers=1, thread_name_prefix="cdc-prefetch") as pool:
+        fut = pool.submit(
+            _reduce_with_stats, table, batches[0], normalize, n_salts
+        )
+        for i in range(len(batches)):
+            reduced, stats, touched, key_range = fut.result()
+            if i + 1 < len(batches):
+                fut = pool.submit(
+                    _reduce_with_stats, table, batches[i + 1], normalize, n_salts
+                )
+            fence = (stream_id, first_batch_id + i)
+            try:
+                last = table.summary.get(f"fence:{fence[0]}")
+                if last is not None and int(last) >= int(fence[1]):
+                    results.append(
+                        {"applied": False, "reason": "fenced", "batch_id": fence[1]}
+                    )
+                else:
+                    results.append(
+                        _merge_reduced(
+                            table, spark, reduced, fence, stats, touched,
+                            key_range, commit_retries,
+                        )
+                    )
+            finally:
+                reduced.unpersist()
+    return results
 
 
 def expected_final_state(events: DataFrame, normalize: bool = True) -> DataFrame:

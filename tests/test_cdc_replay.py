@@ -111,6 +111,32 @@ def test_batched_apply_matches_both_oracles(spark, tmp_path, log):
     assert got == pandas_oracle(log.toPandas())
 
 
+def test_pipelined_apply_matches_serial_and_oracles(spark, tmp_path, log):
+    """The one-batch-lookahead pipelined applier (prefetch thread reduces
+    batch i+1 while batch i merges) must land byte-identical state to the
+    serial loop and both oracles, respect fences, and be replay-safe."""
+    from sql_etl_pipeline_spark.cdc.apply import apply_batches_pipelined
+
+    table = _new_table(tmp_path)
+    n_batches = 5
+    bounds = [i * (N_EVENTS * 1.1) / n_batches for i in range(n_batches + 1)]
+    bounds[-1] = float("inf")
+    bounds[0] = float("-inf")
+    batches = [
+        log.filter((F.col("pos") >= bounds[i]) & (F.col("pos") < bounds[i + 1]))
+        for i in range(n_batches)
+    ]
+    res = apply_batches_pipelined(table, spark, batches, stream_id="pipe")
+    assert [r["applied"] for r in res] == [True] * n_batches
+    got = engine_state(table, spark)
+    assert got == spark_oracle_state(log)
+    assert got == pandas_oracle(log.toPandas())
+    # replaying the same fenced batches is a no-op (exactly-once preserved)
+    res2 = apply_batches_pipelined(table, spark, batches, stream_id="pipe")
+    assert all(r.get("reason") == "fenced" for r in res2)
+    assert engine_state(table, spark) == got
+
+
 def test_double_replay_converges(spark, tmp_path, log):
     """Re-applying the whole log WITHOUT fencing still converges (pure
     idempotency, no exactly-once machinery needed for correctness)."""
