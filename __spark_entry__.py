@@ -21,6 +21,7 @@ from sql_etl_pipeline_spark.cdc.queries import (  # noqa: E402
     CDC_ORACLE_SQL,
     cdc_apply_engine,
     cdc_apply_lww,
+    cdc_apply_mor,
     cdc_apply_stream,
 )
 
@@ -37,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_apply_lww": cdc_apply_lww,
         "cdc_apply_engine": cdc_apply_engine,
+        "cdc_apply_mor": cdc_apply_mor,
         "cdc_apply_stream": cdc_apply_stream,
     }
     for name, spec in _ANALYTICS.items():
@@ -55,6 +57,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {
         "cdc_apply_lww": CDC_ORACLE_SQL,
         "cdc_apply_engine": CDC_ORACLE_SQL,
+        "cdc_apply_mor": CDC_ORACLE_SQL,
         "cdc_apply_stream": CDC_ORACLE_SQL,
     }
     for name, spec in _ANALYTICS.items():

@@ -46,6 +46,12 @@ def _bench_session(name: str):
     extra = {}
     if FAST_DIR:
         extra["spark.local.dir"] = os.path.join(FAST_DIR, "spark-bench-local")
+    # Ad-hoc conf overrides for bench experiments:
+    #   SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd,spark.x=y"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
     return build_session(
         name, master=f"local[{CPUS}]", shuffle_partitions=CPUS, extra_conf=extra
     )
@@ -138,7 +144,14 @@ def run_cdc_apply(
         ]
     tmp = tempfile.mkdtemp(prefix="bench-cdc-", dir=FAST_DIR)
     shutil.rmtree(tmp, ignore_errors=True)
-    table = LakeTable.create(tmp, schema, key_cols=["conv_id", "turn_idx"], num_buckets=32)
+    # SPARK_GRAFT_MERGE_MODE=mor benches the write-optimized merge-on-read
+    # path (append deltas per batch, resolve at read, compact folds); the
+    # final count below then exercises the read-time resolution too.
+    merge_mode = os.environ.get("SPARK_GRAFT_MERGE_MODE", "cow")
+    table = LakeTable.create(
+        tmp, schema, key_cols=["conv_id", "turn_idx"], num_buckets=32,
+        merge_mode=merge_mode,
+    )
     # Pipelined (one-batch-lookahead) replay is the engine's backfill path:
     # batch i+1's reduce overlaps batch i's merge/commit, hiding the
     # driver-serial floor. SPARK_GRAFT_PIPELINE=0 forces the serial loop
@@ -216,18 +229,41 @@ def _calibration_probe(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+def _parallel_ceiling_probe(spark, cores: int) -> float:
+    """Fixed pure-ALU job at the trial's OWN parallelism (md5 over 24M ids,
+    ``4*cores`` partitions). Two trials' probes at different N give the
+    machine's same-moment multi-core scaling ceiling: on this VM, sustained
+    multi-thread use is credit-throttled, so even a perfectly parallel job
+    scales below 1.0 (measured 0.75-0.88 for pure ALU depending on the
+    window). The workload's efficiency divided by this ceiling isolates what
+    the PLAN costs from what the MACHINE costs."""
+    t0 = time.time()
+    spark.range(24_000_000, numPartitions=4 * cores).selectExpr(
+        "sum(length(md5(cast(id as string)))) s"
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
 def run_cdc_only() -> dict:
     """Subprocess entry for --scaling: one CDC apply at $SPARK_GRAFT_CPUS.
 
     ``SPARK_GRAFT_SCALE_EVENTS`` (default 6M) sizes the generated log so the
     job is compute-bound, not scheduling-bound — the regime that represents
-    the 10^10-event cluster deployment."""
+    the 10^10-event cluster deployment.
+
+    Before the timed run, a small warmup apply (100k events to a throwaway
+    table) exercises the exact plan shapes once, so one-time codegen
+    compilation + JIT warmup are excluded from the measured window — they
+    are per-JVM constants, not per-batch costs, and a real cluster pays
+    them once per executor lifetime, not per 10^10-event job."""
     n = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "6000000"))
     nb = int(os.environ.get("SPARK_GRAFT_SCALE_BATCHES", "2"))
     spark = _bench_session("bench-cdc")
     _calibration_probe(spark)  # warm codegen for the probe
+    run_cdc_apply(spark, SF_DIR, n_batches=2, generate_events=100_000)  # warmup
     out = run_cdc_apply(spark, SF_DIR, n_batches=nb, generate_events=n)
     out["calib_s"] = _calibration_probe(spark)
+    out["ceiling_probe_s"] = _parallel_ceiling_probe(spark, CPUS)
     spark.stop()
     return out
 
@@ -279,7 +315,7 @@ def run_scaling(levels=(8, 32)) -> dict:
     lo, hi = levels
     eff = (best[hi] / best[lo]) / (hi / lo)
     eff_norm = (norm[hi] / norm[lo]) / (hi / lo)
-    return {
+    out = {
         "metric": "cdc_scaling_efficiency",
         "value": round(eff, 3),
         "value_calibrated": round(eff_norm, 3),
@@ -292,10 +328,27 @@ def run_scaling(levels=(8, 32)) -> dict:
                 "trials_events_per_sec": [r["events_per_sec"] for r in runs[n]],
                 "trials_wall_s": [r["wall_s"] for r in runs[n]],
                 "trials_calib_s": [r["calib_s"] for r in runs[n]],
+                "trials_ceiling_probe_s": [
+                    r.get("ceiling_probe_s") for r in runs[n]
+                ],
             }
             for n in levels
         },
     }
+    # Machine ceiling: the same fixed pure-ALU md5 job run at each level's
+    # own parallelism inside each trial. Its N->4N efficiency is the best any
+    # embarrassingly-parallel job can do on this credit-throttled VM at that
+    # moment; the workload's efficiency divided by it isolates plan cost
+    # from machine cost.
+    probes = {
+        n: [r["ceiling_probe_s"] for r in runs[n] if r.get("ceiling_probe_s")]
+        for n in levels
+    }
+    if probes[lo] and probes[hi]:
+        ceiling = (lo * min(probes[lo])) / (hi * min(probes[hi]))
+        out["machine_ceiling_eff"] = round(ceiling, 3)
+        out["plan_eff_vs_ceiling"] = round(min(eff / ceiling, 1.0), 3)
+    return out
 
 
 if __name__ == "__main__":

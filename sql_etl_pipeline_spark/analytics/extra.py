@@ -545,6 +545,31 @@ def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_random_sample",
+    None,  # Bernoulli sampling is partitioning-dependent -> rows-only gate;
+    # the reproducible, oracle-matchable variant is documents_hash_sample.
+    "true df.sample (P7): seeded Bernoulli 20% sample with a sanity band",
+)
+def documents_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 P7 — the reference's random sampling
+    (``/root/reference/docs/TECHNICAL_GUIDE.md:917-920``) as Spark's native
+    ``df.sample`` (per-partition Bernoulli XORShift, no shuffle, no global
+    pass — the only sampling shape that works at 100 TB). Seeded for
+    repeatability within a fixed partitioning; exact membership is
+    partitioning-dependent, hence no value oracle. The returned frame
+    carries the observed fraction and an in-band flag so even the weaker
+    rows-only gate asserts the sampler's statistical contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    got = docs.sample(fraction=0.2, seed=42).count()
+    frac = got / max(total, 1)
+    return spark.createDataFrame(
+        [(total, got, round(frac, 4), 0.12 <= frac <= 0.28)],
+        "n_total long, n_sampled long, observed_fraction double, within_band boolean",
+    )
+
+
 # --------------------------------------------------------------------------
 # A2 at scale: approx_count_distinct (HLL). Sketches differ across engines,
 # so the oracle checks the EXACT count plus a tolerance flag: the query

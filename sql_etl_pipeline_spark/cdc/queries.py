@@ -165,6 +165,39 @@ def cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fenced out-of-order batches as ``cdc_apply_engine`` but into a
+    MERGE-ON-READ table: each merge appends delta files (write cost
+    O(batch)), a mid-run ``compact()`` folds the first batches' deltas into
+    base files, and the final snapshot read resolves base + remaining
+    deltas per key. Hash-matching the same oracle proves the MOR write
+    path, the read-time LWW resolution, AND the delta-fold compaction in
+    one gate."""
+    ev = derive_change_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc-mor-q-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    from pyspark.sql.types import StructType
+
+    schema = StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"])
+    table = LakeTable.create(
+        f"{tmp}/table",
+        schema,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=8,
+        merge_mode="mor",
+    )
+    try:
+        for i, part in enumerate([2, 0, 3, 1]):  # deliberately out of order
+            batch = ev.filter(F.pmod(F.col("lsn"), F.lit(4)) == part)
+            apply_batch(table, spark, batch, fence=("q", i), normalize=False)
+            if i == 1:
+                table.compact(spark)  # fold the first two batches' deltas
+        return _materialize_final(spark, table, tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 def cdc_apply_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path: 4 fenced micro-batches -> LakeTable -> snapshot.
 

@@ -18,6 +18,20 @@ lake scale:
   pruning, the scale replacement for the reference's B-tree indexes
   (``/root/reference/sql/schema.sql:248-260``). Write amplification per
   batch is bounded by overlapping-file bytes, not table or bucket bytes.
+* **Two merge modes** (fixed at ``create``):
+
+  - ``cow`` (copy-on-write, default): each merge rewrites the overlapping
+    files; reads are a plain scan. Best for read-heavy tables.
+  - ``mor`` (merge-on-read): each merge APPENDS the reduced batch as
+    ``kind="delta"`` files — per-batch write cost is O(changed rows),
+    independent of table size, the write-optimized shape every
+    high-throughput CDC ingest format converges on (Hudi MOR, Paimon LSM,
+    Iceberg v2 delete files). Reads resolve last-writer-wins across
+    base + delta files (same LSN-guard semantics as the COW merge);
+    ``compact()`` folds deltas back into ``kind="base"`` files so read cost
+    is bounded by compaction cadence (``CdcStreamIngestor.compact_every``).
+    Fencing, lineage, schema evolution, and replay idempotency are
+    identical in both modes.
 * **Additive schema evolution**: commits carry the full Spark schema; files
   written before a column existed are read with the current schema and yield
   NULLs (the principled version of the reference's staging-table
@@ -100,9 +114,14 @@ class LakeTable:
         key_cols: list[str],
         bucket_cols: list[str] | None = None,
         num_buckets: int = 16,
+        merge_mode: str = "cow",
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the user schema; bookkeeping
-        columns (last_lsn, deleted) are appended automatically."""
+        columns (last_lsn, deleted) are appended automatically.
+        ``merge_mode``: ``"cow"`` (rewrite-on-merge) or ``"mor"``
+        (append-delta-on-merge, resolve at read — see module docstring)."""
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         os.makedirs(os.path.join(path, META_DIR), exist_ok=False)
         os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
         fields = list(schema.fields)
@@ -118,6 +137,7 @@ class LakeTable:
             "version": 1,
             "schema": full.jsonValue(),
             "key_cols": key_cols,
+            "merge_mode": merge_mode,
             "partition": {
                 "bucket_cols": bucket_cols or [key_cols[0]],
                 "num_buckets": num_buckets,
@@ -193,6 +213,10 @@ class LakeTable:
         return self._state["partition"]["num_buckets"]
 
     @property
+    def merge_mode(self) -> str:
+        return self._state.get("merge_mode", "cow")
+
+    @property
     def summary(self) -> dict[str, Any]:
         return dict(self._state["summary"])
 
@@ -245,15 +269,30 @@ class LakeTable:
         are exact regardless of stats coverage). The explicit
         ``.schema(...)`` makes pre-evolution files surface NULLs for
         later-added columns.
+
+        On a ``mor`` table with live delta files, the read resolves
+        last-writer-wins across base + delta per key (``max_by`` over
+        ``(last_lsn, base-wins-ties)`` — the same guard the COW merge
+        applies at write time). Pre-resolution pruning/filtering is then
+        restricted to KEY columns: dropping a file (or row) by a non-key
+        range before resolution could discard the newest version of a key
+        and resurrect an older one, so non-key range filters run after
+        resolution instead. Bucket pruning is always safe — a key's every
+        version lives in one bucket.
         """
         schema = self.schema
         sel = self.files
         if buckets is not None:
             want = set(buckets)
             sel = [f for f in sel if f["bucket"] in want]
-        if ranges:
+        has_delta = any(f.get("kind", "base") == "delta" for f in sel)
+        key_set = set(self.key_cols)
+        prunable = {
+            c: r for c, r in (ranges or {}).items() if not has_delta or c in key_set
+        }
+        if prunable:
             def overlaps(f: dict[str, Any]) -> bool:
-                for col, (lo, hi) in ranges.items():
+                for col, (lo, hi) in prunable.items():
                     st = (f.get("stats") or {}).get(col)
                     if st is None:
                         continue  # no stats -> cannot prune this file
@@ -265,18 +304,54 @@ class LakeTable:
                 return True
 
             sel = [f for f in sel if overlaps(f)]
-        if not sel:
-            df = spark.createDataFrame([], schema)
-        else:
-            paths = [os.path.join(self.path, f["path"]) for f in sel]
-            df = spark.read.schema(schema).parquet(*paths)
-        if ranges:
-            # residual filter: exactness never depends on stats coverage
-            for col, (lo, hi) in ranges.items():
+
+        def _residual(df: DataFrame, only: set[str] | None = None) -> DataFrame:
+            # residual filter: exactness never depends on stats coverage.
+            # ``only`` restricts to the named columns (MOR split: key cols
+            # before resolution, everything else after).
+            for col, (lo, hi) in (ranges or {}).items():
+                if only is not None and col not in only:
+                    continue
                 if lo is not None:
                     df = df.filter(F.col(col) >= F.lit(lo))
                 if hi is not None:
                     df = df.filter(F.col(col) <= F.lit(hi))
+            return df
+
+        if not has_delta:
+            if not sel:
+                df = spark.createDataFrame([], schema)
+            else:
+                paths = [os.path.join(self.path, f["path"]) for f in sel]
+                df = spark.read.schema(schema).parquet(*paths)
+            df = _residual(df)
+        else:
+            base = [f for f in sel if f.get("kind", "base") == "base"]
+            delta = [f for f in sel if f.get("kind", "base") == "delta"]
+            u = (
+                self._read_file_entries(spark, base)
+                .withColumn("_pri", F.lit(1))
+                .unionByName(
+                    self._read_file_entries(spark, delta).withColumn(
+                        "_pri", F.lit(0)
+                    )
+                )
+            )
+            # key-column filters are safe BEFORE resolution (per-key groups)
+            u = _residual(u, only=key_set)
+            keys = self.key_cols
+            pack = F.struct(*[F.col(c) for c in u.columns if c != "_pri"])
+            df = (
+                u.groupBy(*keys)
+                .agg(
+                    F.max_by(
+                        pack, F.struct(F.col(LSN_COL), F.col("_pri"))
+                    ).alias("_w")
+                )
+                .select("_w.*")
+            )
+            # non-key filters only AFTER resolution
+            df = _residual(df, only=set(ranges or {}) - key_set)
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not include_meta:
@@ -367,7 +442,9 @@ class LakeTable:
                 out[c] = {"min": lo, "max": hi}
         return out, int(md.num_rows)
 
-    def _write_buckets(self, df: DataFrame, n_buckets_touched: int) -> list[dict[str, Any]]:
+    def _write_buckets(
+        self, df: DataFrame, n_buckets_touched: int, kind: str = "base"
+    ) -> list[dict[str, Any]]:
         """Write ``df`` (which carries BUCKET_COL) partitioned by bucket under
         a fresh write id; return file entries with footer min/max stats and
         row counts. partitionBy keeps each bucket's rows in its own directory
@@ -399,7 +476,10 @@ class LakeTable:
         def entry(rel_b: tuple[str, int]) -> dict[str, Any]:
             rel, b = rel_b
             stats, n_rows = self._file_stats(os.path.join(self.path, rel), stat_cols)
-            return {"path": rel, "bucket": b, "stats": stats, "rows": n_rows}
+            e = {"path": rel, "bucket": b, "stats": stats, "rows": n_rows}
+            if kind != "base":
+                e["kind"] = kind
+            return e
 
         if len(rels) <= 1:
             return [entry(rb) for rb in rels]
@@ -558,6 +638,70 @@ class LakeTable:
             key_range = (row["klo"], row["khi"])
         else:
             touched = sorted(set(touched))
+
+        def _shape(df: DataFrame, pri: int | None) -> DataFrame:
+            cols = []
+            for name in out_cols:
+                if name in df.columns:
+                    cols.append(F.col(name))
+                else:
+                    typ = next(f.dataType for f in schema.fields if f.name == name)
+                    cols.append(F.lit(None).cast(typ).alias(name))
+            extra = [] if pri is None else [F.lit(pri).alias("_pri")]
+            return df.select(*cols, F.col(BUCKET_COL), *extra)
+
+        def _resolve_stats(default) -> tuple:
+            if default is not None:
+                return default
+            row = events.agg(
+                F.min(lsn_col).alias("lo"),
+                F.max(lsn_col).alias("hi"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+            return (
+                int(row["lo"]) if row["lo"] is not None else None,
+                int(row["hi"]) if row["hi"] is not None else None,
+                int(row["n"]),
+            )
+
+        if self.merge_mode == "mor":
+            # ---- merge-on-read: append the reduced batch as delta files ----
+            # No target read, no rewrite: write cost is O(batch rows). The
+            # LSN guard moves to read()/compact() resolution; fencing and
+            # lineage are identical to the COW path, so exactly-once replay
+            # semantics don't depend on the mode.
+            new_files = self._write_buckets(
+                _shape(src, None), len(touched), kind="delta"
+            )
+            lo, hi, n_events = _resolve_stats(stats)
+            summary = self.summary
+            if fence is not None:
+                summary[f"fence:{fence[0]}"] = int(fence[1])
+            self._commit(
+                self.files + new_files,
+                schema,
+                summary,
+                {
+                    "op": "merge_cdc",
+                    "mode": "mor",
+                    "rows_written": sum(f.get("rows", 0) for f in new_files),
+                    "n_events": n_events,
+                    "buckets": touched,
+                    "lsn_min": lo,
+                    "lsn_max": hi,
+                    "batch_fence": f"{fence[0]}:{fence[1]}" if fence else None,
+                    "wall_s": round(time.time() - t0, 3),
+                },
+            )
+            return {
+                "applied": True,
+                "mode": "mor",
+                "events": n_events,
+                "buckets_touched": len(touched),
+                "files_rewritten": 0,
+                "files_written": len(new_files),
+            }
+
         in_touched = [f for f in self.files if f["bucket"] in set(touched)]
         klo = khi = None
         if key_range is not None and key_range[0] is not None:
@@ -581,16 +725,6 @@ class LakeTable:
         # --- 3. LSN-guarded resolution: union + max_by((lsn, pri)) ---------
         # pri: target=1, source=0 -> on equal LSN the already-applied target
         # row wins, making exact replays byte-stable no-ops.
-        def _shape(df: DataFrame, pri: int) -> DataFrame:
-            cols = []
-            for name in out_cols:
-                if name in df.columns:
-                    cols.append(F.col(name))
-                else:
-                    typ = next(f.dataType for f in schema.fields if f.name == name)
-                    cols.append(F.lit(None).cast(typ).alias(name))
-            return df.select(*cols, F.col(BUCKET_COL), F.lit(pri).alias("_pri"))
-
         combined = _shape(target, 1).unionByName(_shape(src, 0))
         pack2 = F.struct(*[F.col(c) for c in combined.columns if c != "_pri"])
         merged = (
@@ -605,16 +739,7 @@ class LakeTable:
 
         # --- 4. rewrite only the overlapping files, swap atomically --------
         new_files = self._write_buckets(merged, len(touched))
-        if stats is None:
-            row = events.agg(
-                F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi"), F.count("*").alias("n")
-            ).collect()[0]
-            stats = (
-                int(row["lo"]) if row["lo"] is not None else None,
-                int(row["hi"]) if row["hi"] is not None else None,
-                int(row["n"]),
-            )
-        lo, hi, n_events = stats
+        lo, hi, n_events = _resolve_stats(stats)
         doomed = {f["path"] for f in rewrite}
         keep = [f for f in self.files if f["path"] not in doomed]
         summary = self.summary
