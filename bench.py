@@ -89,7 +89,11 @@ def _force(df) -> int:
 
 
 def run_cdc_apply(
-    spark, sf_dir: str, n_batches: int = 4, generate_events: int | None = None
+    spark,
+    sf_dir: str,
+    n_batches: int = 4,
+    generate_events: int | None = None,
+    merge_mode: str | None = None,
 ) -> dict:
     """End-to-end CDC apply in fenced micro-batches to a fresh LakeTable.
 
@@ -147,7 +151,8 @@ def run_cdc_apply(
     # SPARK_GRAFT_MERGE_MODE=mor benches the write-optimized merge-on-read
     # path (append deltas per batch, resolve at read, compact folds); the
     # final count below then exercises the read-time resolution too.
-    merge_mode = os.environ.get("SPARK_GRAFT_MERGE_MODE", "cow")
+    if merge_mode is None:
+        merge_mode = os.environ.get("SPARK_GRAFT_MERGE_MODE", "cow")
     table = LakeTable.create(
         tmp, schema, key_cols=["conv_id", "turn_idx"], num_buckets=32,
         merge_mode=merge_mode,
@@ -195,6 +200,8 @@ def run_suite() -> dict:
     t_all = time.time()
     cdc = run_cdc_apply(spark, SF_DIR)
     timings: dict[str, float] = {"cdc_apply": cdc["wall_s"]}
+    cdc_mor = run_cdc_apply(spark, SF_DIR, merge_mode="mor")
+    timings["cdc_apply_mor"] = cdc_mor["wall_s"]
     for name in names:
         t0 = time.time()
         _force(qs[name](spark, SF_DIR))
@@ -211,6 +218,8 @@ def run_suite() -> dict:
         "cdc_events": cdc["events"],
         "cdc_events_per_sec": cdc["events_per_sec"],
         "cdc_final_rows": cdc["final_rows"],
+        "cdc_mor_events_per_sec": cdc_mor["events_per_sec"],
+        "cdc_mor_final_rows": cdc_mor["final_rows"],
     }
 
 

@@ -38,6 +38,13 @@ def _parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("init", help="create an empty transcripts table")
     sp.add_argument("--path", required=True)
     sp.add_argument("--buckets", type=int, default=16)
+    sp.add_argument(
+        "--merge-mode",
+        choices=["cow", "mor"],
+        default="cow",
+        help="cow: rewrite-on-merge (read-optimized); mor: append-delta "
+        "merges resolved at read, folded by compact (write-optimized)",
+    )
 
     sp = sub.add_parser("apply", help="apply one batch of change events")
     sp.add_argument("--path", required=True)
@@ -123,8 +130,17 @@ def main(argv: list[str] | None = None) -> int:
                 TRANSCRIPT_SCHEMA,
                 key_cols=["conv_id", "turn_idx"],
                 num_buckets=args.buckets,
+                merge_mode=args.merge_mode,
             )
-            print(json.dumps({"created": args.path, "buckets": args.buckets}))
+            print(
+                json.dumps(
+                    {
+                        "created": args.path,
+                        "buckets": args.buckets,
+                        "merge_mode": args.merge_mode,
+                    }
+                )
+            )
         elif args.cmd == "apply":
             table = LakeTable(args.path)
             events = spark.read.schema(change_event_schema()).parquet(args.events)

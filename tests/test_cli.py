@@ -21,7 +21,9 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     ev.filter(F.col("lsn") < 200).coalesce(1).write.parquet(log)
     ev.filter(F.col("lsn") >= 200).coalesce(1).write.mode("append").parquet(log)
 
-    assert main(["init", "--path", t, "--buckets", "4"]) == 0
+    assert main(["init", "--path", t, "--buckets", "4", "--merge-mode", "mor"]) == 0
+    created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert created["merge_mode"] == "mor"
     assert main(
         ["apply", "--path", t, "--events", log, "--fence", "manual:0"]
     ) == 0

@@ -175,6 +175,35 @@ def test_mor_bucket_and_range_pruned_reads(spark, tmp_path, log):
     assert b0.count() == want3
 
 
+def test_mor_streaming_ingest_with_compaction_cadence(spark, tmp_path, log):
+    """Structured Streaming into a MOR table: micro-batches append deltas,
+    the cadence-driven compaction folds them, final state matches the
+    oracle — the full write-optimized ingest loop."""
+    from sql_etl_pipeline_spark.streaming import CdcStreamIngestor
+
+    src = str(tmp_path / "log")
+    log.orderBy("pos").repartitionByRange(6, "pos").write.parquet(src)
+    mor = LakeTable.create(
+        str(tmp_path / "mor"), TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"],
+        num_buckets=8, merge_mode="mor",
+    )
+    ing = CdcStreamIngestor(
+        mor,
+        src,
+        str(tmp_path / "ckpt"),
+        log.schema,
+        stream_id="mor-stream",
+        max_files_per_trigger=2,
+        compact_every=2,
+    )
+    batches = ing.run_available_now(spark)
+    assert len(batches) >= 2
+    assert any("compacted" in b for b in batches)  # cadence fired
+    assert _state(mor, spark) == _oracle(log)
+    ops = [r["op"] for r in mor.lineage_records()]
+    assert "compact" in ops and "merge_cdc" in ops
+
+
 def test_mor_schema_evolution_mid_log(spark, tmp_path):
     from pyspark.sql.types import StructType
 
