@@ -70,6 +70,18 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("--compact-every", type=int, default=None)
     sp.add_argument("--tombstone-lsn-lag", type=int, default=None)
 
+    sp = sub.add_parser(
+        "replay",
+        help="bounded backfill: split an event directory into LSN-range "
+        "micro-batches and apply them with one-batch-lookahead pipelining "
+        "(batch i+1's reduce overlaps batch i's merge/commit)",
+    )
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--events", required=True, help="parquet path of events")
+    sp.add_argument("--batches", type=int, default=4)
+    sp.add_argument("--stream-id", default="replay")
+    sp.add_argument("--no-normalize", action="store_true")
+
     sp = sub.add_parser("status", help="print lineage records")
     sp.add_argument("--path", required=True)
 
@@ -152,6 +164,38 @@ def main(argv: list[str] | None = None) -> int:
                 table, spark, events, fence=fence, normalize=not args.no_normalize
             )
             print(json.dumps(stats))
+        elif args.cmd == "replay":
+            from pyspark.sql import functions as F
+
+            from .cdc.apply import apply_batches_pipelined
+
+            table = LakeTable(args.path)
+            events = spark.read.schema(change_event_schema()).parquet(args.events)
+            row = events.agg(
+                F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+            ).collect()[0]
+            lo, hi = row["lo"], row["hi"]
+            n = max(args.batches, 1)
+            if lo is None or n == 1 or lo == hi:
+                batches = [events]
+            else:
+                step = (int(hi) - int(lo)) // n + 1
+                batches = [
+                    events.filter(
+                        (F.col("lsn") >= lo + i * step)
+                        & (F.col("lsn") < lo + (i + 1) * step)
+                    )
+                    for i in range(n)
+                ]
+            results = apply_batches_pipelined(
+                table,
+                spark,
+                batches,
+                stream_id=args.stream_id,
+                normalize=not args.no_normalize,
+            )
+            for r in results:
+                print(json.dumps(r))
         elif args.cmd == "stream":
             table = LakeTable(args.path)
             # A CSV log written by functions.io.write_csv must be read with

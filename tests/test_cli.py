@@ -52,6 +52,28 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     b = LakeTable(t2).read(spark).orderBy("conv_id", "turn_idx").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
+    # pipelined replay of the same log into a third table matches too
+    t3 = str(tmp_path / "table3")
+    assert main(["init", "--path", t3, "--buckets", "4"]) == 0
+    assert main(
+        ["replay", "--path", t3, "--events", log, "--batches", "3",
+         "--stream-id", "bf"]
+    ) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+             if x.startswith("{")]
+    applied = [r for r in lines if r.get("applied")]
+    assert applied and sum(r["events"] for r in applied) == 400
+    c = LakeTable(t3).read(spark).orderBy("conv_id", "turn_idx").collect()
+    assert [tuple(r) for r in c] == [tuple(r) for r in a]
+    # replaying with the same stream-id is fenced end-to-end
+    assert main(
+        ["replay", "--path", t3, "--events", log, "--batches", "3",
+         "--stream-id", "bf"]
+    ) == 0
+    lines2 = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+              if x.startswith("{")]
+    assert all(r.get("reason") == "fenced" for r in lines2)
+
     assert main(["status", "--path", t2]) == 0
     recs = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert any(r["op"] == "merge_cdc" for r in recs)
