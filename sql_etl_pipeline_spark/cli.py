@@ -88,6 +88,18 @@ def _parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("compact")
     sp.add_argument("--path", required=True)
     sp.add_argument("--purge-below-lsn", type=int, default=None)
+    sp.add_argument(
+        "--buckets", type=int, default=None,
+        help="re-bucket to this count (partition-spec evolution)",
+    )
+    sp.add_argument(
+        "--sort", action="store_true",
+        help="sort rows by key within each bucket (tighter file stats)",
+    )
+    sp.add_argument(
+        "--target-file-rows", type=int, default=None,
+        help="split output files at N rows (with --sort: disjoint key ranges)",
+    )
 
     sp = sub.add_parser("vacuum")
     sp.add_argument("--path", required=True)
@@ -222,7 +234,17 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({k: v for k, v in b.items() if k != "validation"}))
         elif args.cmd == "compact":
             table = LakeTable(args.path)
-            print(json.dumps(table.compact(spark, args.purge_below_lsn)))
+            print(
+                json.dumps(
+                    table.compact(
+                        spark,
+                        args.purge_below_lsn,
+                        num_buckets=args.buckets,
+                        sort_within_buckets=args.sort,
+                        target_file_rows=args.target_file_rows,
+                    )
+                )
+            )
         elif args.cmd == "analytics":
             import time as _time
 

@@ -230,14 +230,20 @@ class LakeTable:
         schema: StructType,
         summary: dict[str, Any],
         lineage: dict[str, Any],
+        partition: dict[str, Any] | None = None,
     ) -> None:
-        """Publish the next snapshot atomically (optimistic concurrency)."""
+        """Publish the next snapshot atomically (optimistic concurrency).
+        ``partition`` replaces the partition spec in the same commit —
+        only valid when ``files`` was written entirely under the new spec
+        (bucket-count evolution happens through ``compact``)."""
         nxt = dict(self._state)
         nxt["version"] = self.version + 1
         nxt["schema"] = schema.jsonValue()
         nxt["files"] = files
         nxt["summary"] = summary
         nxt["lineage"] = lineage
+        if partition is not None:
+            nxt["partition"] = partition
         tmp = os.path.join(self.path, META_DIR, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(nxt, fh)
@@ -443,7 +449,12 @@ class LakeTable:
         return out, int(md.num_rows)
 
     def _write_buckets(
-        self, df: DataFrame, n_buckets_touched: int, kind: str = "base"
+        self,
+        df: DataFrame,
+        n_buckets_touched: int,
+        kind: str = "base",
+        sort_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (which carries BUCKET_COL) partitioned by bucket under
         a fresh write id; return file entries with footer min/max stats and
@@ -455,13 +466,19 @@ class LakeTable:
         out_dir = os.path.join(self.path, DATA_DIR, write_id)
         # One shuffle partition per touched bucket keeps file counts bounded;
         # AQE may coalesce further. At 100 TB num_buckets is large and each
-        # bucket rewrite is one task's worth of data.
-        (
-            df.repartition(max(n_buckets_touched, 1), F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        # bucket rewrite is one task's worth of data. ``sort_cols`` orders
+        # rows inside each bucket (no extra shuffle — sort within the
+        # existing partitions) and ``max_records_per_file`` splits output:
+        # together they produce several files per bucket with DISJOINT key
+        # ranges, which is what makes the manifest min/max file pruning in
+        # ``merge_cdc``/``read(ranges=...)`` actually selective.
+        out = df.repartition(max(n_buckets_touched, 1), F.col(BUCKET_COL))
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        writer = out.write.partitionBy(BUCKET_COL).mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.parquet(out_dir)
         stat_cols = tuple(c for c in self._stat_cols() if c in df.columns)
         rels: list[tuple[str, int]] = []
         for bdir in sorted(os.listdir(out_dir)):
@@ -774,11 +791,34 @@ class LakeTable:
 
     # ------------------------------------------------------------ maintenance
     def compact(
-        self, spark: SparkSession, purge_tombstones_below_lsn: int | None = None
+        self,
+        spark: SparkSession,
+        purge_tombstones_below_lsn: int | None = None,
+        num_buckets: int | None = None,
+        sort_within_buckets: bool = False,
+        target_file_rows: int | None = None,
     ) -> dict[str, Any]:
-        """Rewrite every live bucket into (approximately) one file and
-        optionally purge tombstones whose delete LSN is below the watermark —
-        the engine's ``rewrite_data_files`` + tombstone GC (SURVEY.md §7.2)."""
+        """Rewrite every live bucket and optionally purge tombstones whose
+        delete LSN is below the watermark — the engine's
+        ``rewrite_data_files`` + tombstone GC (SURVEY.md §7.2). On a MOR
+        table this also folds all delta files into base (the resolved read
+        is the input). Three layout levers, all atomic with the rewrite:
+
+        * ``num_buckets`` — bucket-count evolution (Iceberg partition-spec
+          evolution): the 100 TB growth path is exactly this, 16 buckets at
+          bootstrap -> O(10k) as the table grows, re-bucketed during a
+          scheduled compaction. The partition spec changes in the SAME
+          commit as the rewritten files, so readers never see a mixed
+          layout.
+        * ``sort_within_buckets`` — order rows by the key columns inside
+          each bucket (no extra shuffle) before writing.
+        * ``target_file_rows`` — split each bucket's output at N rows per
+          file. Combined with the sort, files within a bucket get DISJOINT
+          key ranges, which is what makes manifest min/max pruning in
+          ``read(ranges=...)`` and the file-scoped COW merge selective:
+          a narrow-key batch then rewrites one file per bucket, not the
+          whole bucket.
+        """
         t0 = time.time()
         df = self.read(spark, include_deleted=True, include_meta=True)
         if purge_tombstones_below_lsn is not None:
@@ -788,8 +828,17 @@ class LakeTable:
                     & (F.col(LSN_COL) < F.lit(purge_tombstones_below_lsn))
                 )
             )
-        df = df.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
-        new_files = self._write_buckets(df, self.num_buckets)
+        nb = num_buckets or self.num_buckets
+        df = df.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, nb))
+        new_files = self._write_buckets(
+            df,
+            nb,
+            sort_cols=self.key_cols if sort_within_buckets else None,
+            max_records_per_file=target_file_rows,
+        )
+        partition = None
+        if num_buckets is not None and num_buckets != self.num_buckets:
+            partition = {"bucket_cols": self.bucket_cols, "num_buckets": nb}
         self._commit(
             new_files,
             self.schema,
@@ -798,10 +847,12 @@ class LakeTable:
                 "op": "compact",
                 "rows_written": sum(f.get("rows", 0) for f in new_files),
                 "buckets": sorted({f["bucket"] for f in new_files}),
+                "num_buckets": nb,
                 "wall_s": round(time.time() - t0, 3),
             },
+            partition=partition,
         )
-        return {"files": len(new_files)}
+        return {"files": len(new_files), "num_buckets": nb}
 
     def vacuum(self, grace_seconds: float = 600.0) -> int:
         """Delete data files referenced by NO retained snapshot (including

@@ -79,8 +79,13 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert any(r["op"] == "merge_cdc" for r in recs)
     assert any(r["op"] == "compact" for r in recs)
 
-    assert main(["compact", "--path", t]) == 0
-    capsys.readouterr()
+    assert main(
+        ["compact", "--path", t, "--buckets", "8", "--sort",
+         "--target-file-rows", "50"]
+    ) == 0
+    cstats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cstats["num_buckets"] == 8
+    assert LakeTable(t).num_buckets == 8
     assert main(
         ["vacuum", "--path", t, "--expire-keep-last", "1", "--grace-seconds", "0"]
     ) == 0

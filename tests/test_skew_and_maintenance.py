@@ -135,3 +135,84 @@ def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
     got = table.read(spark).orderBy("conv_id", "turn_idx").collect()
     exp = expected_final_state(all_ev, normalize=False).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_rebucket_compaction_partition_evolution(spark, tmp_path):
+    """Bucket-count evolution at compaction (the 16 -> O(10k) growth path):
+    the partition spec and the re-bucketed files change in one atomic
+    commit; reads, pruning, and subsequent merges all follow the new
+    spec."""
+    table = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=2,
+    )
+    log = generate_change_events(
+        spark, 1500, n_convs=80, delete_frac=0.01, dup_frac=0.02
+    ).cache()
+    apply_batch(table, spark, log, fence=("s", 0))
+    before = sorted(tuple(r) for r in table.read(spark).collect())
+    assert table.num_buckets == 2
+
+    res = table.compact(spark, num_buckets=8)
+    assert res["num_buckets"] == 8 and table.num_buckets == 8
+    assert {f["bucket"] for f in table.files} <= set(range(8))
+    assert len({f["bucket"] for f in table.files}) > 2
+    assert sorted(tuple(r) for r in table.read(spark).collect()) == before
+
+    # bucket-pruned read still exact under the new spec
+    from sql_etl_pipeline_spark.lakehouse.table import _bucket_expr
+
+    full = table.read(spark)
+    want = (
+        full.withColumn("_b", _bucket_expr(table.bucket_cols, 8))
+        .filter(F.col("_b").isin([0, 3, 5]))
+        .count()
+    )
+    assert table.read(spark, buckets=[0, 3, 5]).count() == want
+
+    # merges keep working and route to the new buckets
+    upd = spark.createDataFrame(
+        [("U", 10_000_000, "conv-00000001", 1, "user", "after rebucket", None, None)],
+        "op string, lsn long, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    apply_batch(table, spark, upd, fence=("s", 1))
+    row = table.read(spark).filter(
+        (F.col("conv_id") == "conv-00000001") & (F.col("turn_idx") == 1)
+    ).collect()
+    assert len(row) == 1 and row[0].text == "after rebucket"
+    # a fresh handle loads the evolved spec from the commit log
+    assert LakeTable(str(tmp_path / "t")).num_buckets == 8
+
+
+def test_sorted_compaction_enables_file_pruning(spark, tmp_path):
+    """sort_within_buckets + target_file_rows produce several files per
+    bucket with disjoint key ranges, so a narrow-key merge rewrites a
+    strict subset of each touched bucket's files."""
+    table = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=2,
+    )
+    log = generate_change_events(spark, 2000, n_convs=100, delete_frac=0.0)
+    apply_batch(table, spark, log, fence=("s", 0))
+    before = sorted(tuple(r) for r in table.read(spark).collect())
+
+    table.compact(spark, sort_within_buckets=True, target_file_rows=150)
+    files_per_bucket: dict[int, int] = {}
+    for f in table.files:
+        files_per_bucket[f["bucket"]] = files_per_bucket.get(f["bucket"], 0) + 1
+    assert all(n >= 3 for n in files_per_bucket.values())
+    # sorted output -> every file carries usable conv_id stats
+    assert all("conv_id" in (f.get("stats") or {}) for f in table.files)
+    assert sorted(tuple(r) for r in table.read(spark).collect()) == before
+
+    # narrow single-key update: touched bucket rewrites ONE file
+    upd = spark.createDataFrame(
+        [("U", 20_000_000, "conv-00000042", 1, "user", "narrow", None, None)],
+        "op string, lsn long, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    res = apply_batch(table, spark, upd, fence=("s", 1))
+    assert res["buckets_touched"] == 1
+    assert res["files_rewritten"] == 1
+    assert res["files_kept_in_touched_buckets"] >= 2
