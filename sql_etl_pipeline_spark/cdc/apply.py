@@ -103,15 +103,20 @@ def _reduce_with_stats(
     events: DataFrame,
     normalize: bool = True,
     n_salts: int = 1,
-) -> tuple[DataFrame, tuple, list[int], tuple]:
+) -> tuple[DataFrame, tuple, list[int], tuple, dict]:
     """Run the batch's table-independent half: normalize -> LWW reduce ->
     persist, plus ONE driver action serving lineage stats, touched-bucket
-    discovery AND key-range discovery (collect_set over <= num_buckets ints
-    rides along with the sum/min/max). Returns
-    ``(reduced_persisted, stats, touched, key_range)``; caller owns the
-    unpersist. Depends only on the log slice and the table's static layout
-    (keys/buckets), never its snapshot — so it can run concurrently with an
-    earlier batch's merge (see ``apply_batches_pipelined``)."""
+    discovery AND key-range discovery. The action is a groupBy over the
+    batch's bucket ids (<= num_buckets tiny rows on the already-persisted
+    reduce), so the same pass also yields PER-BUCKET applied LSN ranges and
+    row counts — the per-partition lineage the checkpoint/offsets table
+    records (north-star: replay audits need to know which LSNs each
+    partition has applied, not just the batch's global range). Returns
+    ``(reduced_persisted, stats, touched, key_range, bucket_ranges)``;
+    caller owns the unpersist. Depends only on the log slice and the
+    table's static layout (keys/buckets), never its snapshot — so it can
+    run concurrently with an earlier batch's merge
+    (see ``apply_batches_pipelined``)."""
     from ..lakehouse.table import BUCKET_COL, _bucket_expr
 
     prepared = prepare_events(events, normalize=normalize)
@@ -121,22 +126,36 @@ def _reduce_with_stats(
         BUCKET_COL, _bucket_expr(table.bucket_cols, table.num_buckets)
     ).persist()
     prune_key = table.key_cols[0]
-    st = reduced.agg(
-        F.sum("_cnt").alias("n"),
-        F.min("_lmin").alias("lo"),
-        F.max("_lmax").alias("hi"),
-        F.collect_set(BUCKET_COL).alias("buckets"),
-        F.min(prune_key).alias("klo"),
-        F.max(prune_key).alias("khi"),
-    ).collect()[0]
-    stats = (
-        (int(st["lo"]), int(st["hi"]), int(st["n"]))
-        if st["n"] is not None and st["lo"] is not None
-        else (None, None, int(st["n"] or 0))
+    rows = (
+        reduced.groupBy(BUCKET_COL)
+        .agg(
+            F.sum("_cnt").alias("n"),
+            F.min("_lmin").alias("lo"),
+            F.max("_lmax").alias("hi"),
+            F.count("*").alias("rows"),
+            F.min(prune_key).alias("klo"),
+            F.max(prune_key).alias("khi"),
+        )
+        .collect()
     )
-    touched = [int(b) for b in (st["buckets"] or [])]
-    key_range = (st["klo"], st["khi"])
-    return reduced, stats, touched, key_range
+    n_total = sum(int(r["n"] or 0) for r in rows)
+    los = [int(r["lo"]) for r in rows if r["lo"] is not None]
+    his = [int(r["hi"]) for r in rows if r["hi"] is not None]
+    stats = (min(los), max(his), n_total) if los else (None, None, n_total)
+    touched = sorted(int(r[BUCKET_COL]) for r in rows)
+    klos = [r["klo"] for r in rows if r["klo"] is not None]
+    khis = [r["khi"] for r in rows if r["khi"] is not None]
+    key_range = (min(klos), max(khis)) if klos else (None, None)
+    bucket_ranges = {
+        int(r[BUCKET_COL]): {
+            "lsn_min": int(r["lo"]) if r["lo"] is not None else None,
+            "lsn_max": int(r["hi"]) if r["hi"] is not None else None,
+            "n_events": int(r["n"] or 0),
+            "rows": int(r["rows"]),
+        }
+        for r in rows
+    }
+    return reduced, stats, touched, key_range, bucket_ranges
 
 
 def _merge_reduced(
@@ -148,6 +167,7 @@ def _merge_reduced(
     touched: list[int],
     key_range: tuple,
     commit_retries: int = 2,
+    bucket_ranges: dict | None = None,
 ) -> dict:
     """LSN-guarded merge of an already-reduced batch, with the optimistic-
     concurrency retry loop. A ``CommitConflict`` (another writer — e.g. a
@@ -168,6 +188,7 @@ def _merge_reduced(
                 stats=stats,
                 touched=touched,
                 key_range=key_range,
+                bucket_ranges=bucket_ranges,
             )
         except CommitConflict:
             if attempt == commit_retries:
@@ -202,12 +223,13 @@ def apply_batch(
         last = table.summary.get(f"fence:{fence[0]}")
         if last is not None and int(last) >= int(fence[1]):
             return {"applied": False, "reason": "fenced", "batch_id": fence[1]}
-    reduced, stats, touched, key_range = _reduce_with_stats(
+    reduced, stats, touched, key_range, bucket_ranges = _reduce_with_stats(
         table, events, normalize=normalize, n_salts=n_salts
     )
     try:
         return _merge_reduced(
-            table, spark, reduced, fence, stats, touched, key_range, commit_retries
+            table, spark, reduced, fence, stats, touched, key_range,
+            commit_retries, bucket_ranges,
         )
     finally:
         reduced.unpersist()
@@ -251,7 +273,7 @@ def apply_batches_pipelined(
             _reduce_with_stats, table, batches[0], normalize, n_salts
         )
         for i in range(len(batches)):
-            reduced, stats, touched, key_range = fut.result()
+            reduced, stats, touched, key_range, bucket_ranges = fut.result()
             if i + 1 < len(batches):
                 fut = pool.submit(
                     _reduce_with_stats, table, batches[i + 1], normalize, n_salts
@@ -267,7 +289,7 @@ def apply_batches_pipelined(
                     results.append(
                         _merge_reduced(
                             table, spark, reduced, fence, stats, touched,
-                            key_range, commit_retries,
+                            key_range, commit_retries, bucket_ranges,
                         )
                     )
             finally:

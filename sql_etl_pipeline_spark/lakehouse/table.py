@@ -552,6 +552,7 @@ class LakeTable:
         stats: tuple[int | None, int | None, int] | None = None,
         touched: list[int] | None = None,
         key_range: tuple[Any, Any] | None = None,
+        bucket_ranges: dict[int, dict[str, Any]] | None = None,
     ) -> dict[str, Any]:
         """Apply a batch of change events (I/U/D) idempotently.
 
@@ -694,22 +695,22 @@ class LakeTable:
             summary = self.summary
             if fence is not None:
                 summary[f"fence:{fence[0]}"] = int(fence[1])
-            self._commit(
-                self.files + new_files,
-                schema,
-                summary,
-                {
-                    "op": "merge_cdc",
-                    "mode": "mor",
-                    "rows_written": sum(f.get("rows", 0) for f in new_files),
-                    "n_events": n_events,
-                    "buckets": touched,
-                    "lsn_min": lo,
-                    "lsn_max": hi,
-                    "batch_fence": f"{fence[0]}:{fence[1]}" if fence else None,
-                    "wall_s": round(time.time() - t0, 3),
-                },
-            )
+            lineage = {
+                "op": "merge_cdc",
+                "mode": "mor",
+                "rows_written": sum(f.get("rows", 0) for f in new_files),
+                "n_events": n_events,
+                "buckets": touched,
+                "lsn_min": lo,
+                "lsn_max": hi,
+                "batch_fence": f"{fence[0]}:{fence[1]}" if fence else None,
+                "wall_s": round(time.time() - t0, 3),
+            }
+            if bucket_ranges:
+                lineage["bucket_lsn_ranges"] = {
+                    str(b): r for b, r in sorted(bucket_ranges.items())
+                }
+            self._commit(self.files + new_files, schema, summary, lineage)
             return {
                 "applied": True,
                 "mode": "mor",
@@ -762,24 +763,26 @@ class LakeTable:
         summary = self.summary
         if fence is not None:
             summary[f"fence:{fence[0]}"] = int(fence[1])
-        self._commit(
-            keep + new_files,
-            schema,
-            summary,
-            {
-                "op": "merge_cdc",
-                # rows_written = rows physically written (incl. tombstones),
-                # exact and free from the parquet footers; n_events = raw
-                # pre-dedup event count — two fields, two stable meanings.
-                "rows_written": sum(f.get("rows", 0) for f in new_files),
-                "n_events": n_events,
-                "buckets": touched,
-                "lsn_min": lo,
-                "lsn_max": hi,
-                "batch_fence": f"{fence[0]}:{fence[1]}" if fence else None,
-                "wall_s": round(time.time() - t0, 3),
-            },
-        )
+        lineage = {
+            "op": "merge_cdc",
+            # rows_written = rows physically written (incl. tombstones),
+            # exact and free from the parquet footers; n_events = raw
+            # pre-dedup event count — two fields, two stable meanings.
+            "rows_written": sum(f.get("rows", 0) for f in new_files),
+            "n_events": n_events,
+            "buckets": touched,
+            "lsn_min": lo,
+            "lsn_max": hi,
+            "batch_fence": f"{fence[0]}:{fence[1]}" if fence else None,
+            "wall_s": round(time.time() - t0, 3),
+        }
+        if bucket_ranges:
+            # per-partition applied LSN ranges + counts (audit/replay
+            # bookkeeping; computed in the caller's single stats action)
+            lineage["bucket_lsn_ranges"] = {
+                str(b): r for b, r in sorted(bucket_ranges.items())
+            }
+        self._commit(keep + new_files, schema, summary, lineage)
         return {
             "applied": True,
             "events": n_events,

@@ -111,6 +111,21 @@ def test_batched_apply_matches_both_oracles(spark, tmp_path, log):
     assert got == pandas_oracle(log.toPandas())
 
 
+def test_lineage_per_bucket_lsn_ranges(spark, tmp_path, log):
+    """Each merge commit records per-bucket applied LSN ranges and counts
+    (the per-partition offsets/lineage bookkeeping); they must tile the
+    batch's global range exactly."""
+    table = _new_table(tmp_path)
+    apply_batch(table, spark, log, fence=("replay", 0))
+    rec = table.lineage_records()[-1]
+    br = rec["bucket_lsn_ranges"]
+    assert set(int(b) for b in br) == set(rec["buckets"]) != set()
+    assert min(v["lsn_min"] for v in br.values()) == rec["lsn_min"]
+    assert max(v["lsn_max"] for v in br.values()) == rec["lsn_max"]
+    assert sum(v["n_events"] for v in br.values()) == rec["n_events"]
+    assert all(v["rows"] > 0 for v in br.values())
+
+
 def test_pipelined_apply_matches_serial_and_oracles(spark, tmp_path, log):
     """The one-batch-lookahead pipelined applier (prefetch thread reduces
     batch i+1 while batch i merges) must land byte-identical state to the
