@@ -176,3 +176,50 @@ def test_commit_conflict_retry_in_apply_batch(table, spark):
     )
     assert r["applied"]
     assert _state(table.refresh(), spark) == {("a", 0): "x", ("b", 0): "y"}
+
+
+def test_concurrent_writers_converge_under_retries(spark, tmp_path):
+    """Two writer threads (different fenced streams, interleaved LSNs)
+    hammer the same table concurrently; optimistic-concurrency retries must
+    absorb every CommitConflict and the final state must equal the one-shot
+    LWW of the union — the multi-writer guarantee the commit protocol
+    claims."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sql_etl_pipeline_spark.cdc import TRANSCRIPT_SCHEMA, generate_change_events
+    from sql_etl_pipeline_spark.cdc.apply import apply_batch, expected_final_state
+
+    path = str(tmp_path / "t")
+    LakeTable.create(path, TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"], num_buckets=4)
+    log = generate_change_events(
+        spark, 2000, n_convs=60, delete_frac=0.01, dup_frac=0.02
+    ).cache()
+    log.count()
+
+    def run(stream_id: str, parity: int) -> list:
+        handle = LakeTable(path)  # each writer has its own snapshot handle
+        out = []
+        for i in range(3):
+            batch = log.filter(
+                (F.pmod(F.col("lsn"), F.lit(2)) == parity)
+                & (F.pmod(F.col("lsn"), F.lit(3)) == i)
+            )
+            out.append(
+                apply_batch(
+                    handle, spark, batch, fence=(stream_id, i), commit_retries=20
+                )
+            )
+        return out
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(run, "even", 0)
+        fb = pool.submit(run, "odd", 1)
+        ra, rb = fa.result(), fb.result()
+    assert all(r["applied"] for r in ra + rb)
+
+    got = sorted(
+        tuple(r) for r in LakeTable(path).read(spark).collect()
+    )
+    want = sorted(tuple(r) for r in expected_final_state(log).collect())
+    assert got == want
+    log.unpersist()
