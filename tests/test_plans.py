@@ -163,3 +163,51 @@ def test_file_stat_range_pruning(spark, tmp_path):
     none = t.read(spark, ranges={"conv_id": ("zzz-0", "zzz-9")})
     assert none.count() == 0
     assert len(none.inputFiles()) == 0
+
+
+def test_mor_bucket_pruned_read_lists_only_selected_buckets(spark, tmp_path):
+    """MOR resolution must not widen the scan: a bucket-pruned read on a
+    delta-bearing table lists only the selected buckets' base+delta files."""
+    import re
+
+    from sql_etl_pipeline_spark.cdc import TRANSCRIPT_SCHEMA, generate_change_events
+    from sql_etl_pipeline_spark.cdc.apply import apply_batch
+    from sql_etl_pipeline_spark.lakehouse import LakeTable
+
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"],
+        num_buckets=8, merge_mode="mor",
+    )
+    log = generate_change_events(spark, 1500, n_convs=80)
+    apply_batch(t, spark, log, fence=("s", 0))
+    apply_batch(
+        t, spark,
+        generate_change_events(spark, 1500, n_convs=80, seed=43),
+        fence=("s", 1),
+    )
+    assert any(f.get("kind") == "delta" for f in t.files)
+    pruned = t.read(spark, buckets=[0, 1])
+    listed = pruned.inputFiles()
+    assert listed
+    buckets_read = {int(re.search(r"_bucket=(\d+)", p).group(1)) for p in listed}
+    assert buckets_read <= {0, 1}, f"MOR scan read extra buckets: {buckets_read}"
+
+
+def test_sorted_compaction_range_read_lists_fewer_files(spark, tmp_path):
+    """After compact(sort_within_buckets, target_file_rows) a bucket holds
+    several files with disjoint key ranges; a narrow key-range read must
+    list strictly fewer files than the full table scan."""
+    from sql_etl_pipeline_spark.cdc import TRANSCRIPT_SCHEMA, generate_change_events
+    from sql_etl_pipeline_spark.cdc.apply import apply_batch
+    from sql_etl_pipeline_spark.lakehouse import LakeTable
+
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"],
+        num_buckets=2,
+    )
+    apply_batch(t, spark, generate_change_events(spark, 2000, n_convs=100), fence=("s", 0))
+    t.compact(spark, sort_within_buckets=True, target_file_rows=150)
+    full = t.read(spark)
+    narrow = t.read(spark, ranges={"conv_id": ("conv-00000010", "conv-00000015")})
+    assert narrow.count() > 0
+    assert len(narrow.inputFiles()) < len(full.inputFiles())
