@@ -462,16 +462,21 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three scale-safe exact NTILE(5)s (bucketed row numbers + broadcast
     # offsets; zero single-partition windows) — reference semantics
     # (/root/reference/src/sql_query_executor.py:471-479) at cluster scale.
+    # Each score is computed INDEPENDENTLY against the persisted rfm base
+    # and joined back as a slim (key, score) frame: chaining them instead
+    # would make each with_exact_ntile's eager bucket-count job re-execute
+    # every previous score's join+window (measured 3x wall on sf0.1).
     rfm = rfm.persist()
-    scored = with_exact_ntile(
-        rfm, 5, [("recency_days", True), ("c_custkey", True)], "r_score"
-    )
-    scored = with_exact_ntile(
-        scored, 5, [("frequency", False), ("c_custkey", True)], "f_score"
-    )
-    scored = with_exact_ntile(
-        scored, 5, [("monetary", False), ("c_custkey", True)], "m_score"
-    )
+    specs = [
+        ("r_score", [("recency_days", True), ("c_custkey", True)]),
+        ("f_score", [("frequency", False), ("c_custkey", True)]),
+        ("m_score", [("monetary", False), ("c_custkey", True)]),
+    ]
+    scored = rfm
+    for out_col, order in specs:
+        cols = ["c_custkey"] + sorted({c for c, _ in order} - {"c_custkey"})
+        part = with_exact_ntile(rfm.select(*cols), 5, order, out_col)
+        scored = scored.join(part.select("c_custkey", out_col), "c_custkey")
     return (
         scored.withColumn(
             "rfm_cell",
