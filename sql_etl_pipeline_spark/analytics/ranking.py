@@ -41,10 +41,13 @@ _BUCKET_SCALE = 16.0
 def _order_bucket(first_col: str, ascending: bool) -> F.Column:
     """Monotone, deterministic coarsening of the leading (numeric) sort
     key; descending order negates so the bucket id always ascends with
-    the sort order."""
+    the sort order. NaN maps to NULL so the caller's NULL guard rejects it
+    loudly — Spark sorts NaN after every value but ``floor(NaN)`` would
+    silently cast to bucket 0, corrupting every offset."""
     v = F.col(first_col).cast("double")
     if not ascending:
         v = -v
+    v = F.when(F.isnan(v), F.lit(None).cast("double")).otherwise(v)
     return F.floor(F.asinh(v) * F.lit(_BUCKET_SCALE)).cast("long")
 
 
@@ -64,8 +67,8 @@ def with_global_row_number(
     counts = [(r["_ob"], r["count"]) for r in df2.groupBy("_ob").count().collect()]
     if any(ob is None for ob, _ in counts):
         raise ValueError(
-            f"NULL values in leading sort column {first!r}: sort keys must be "
-            "NULL-free (package determinism convention)"
+            f"NULL or NaN values in leading sort column {first!r}: sort keys "
+            "must be NULL/NaN-free (package determinism convention)"
         )
     counts.sort()
     spark = df.sparkSession

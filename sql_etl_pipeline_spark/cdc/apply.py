@@ -174,7 +174,13 @@ def _merge_reduced(
     concurrent compaction — published first) refreshes the snapshot and
     retries the merge against the new base, bounded by ``commit_retries``.
     The fence check re-runs on refresh, so a retried batch that the other
-    writer already applied stays exactly-once."""
+    writer already applied stays exactly-once.
+
+    On retry the precomputed ``touched``/``key_range``/``bucket_ranges``
+    are DISCARDED (merge_cdc recomputes them from the still-persisted
+    reduce): the conflicting commit may have been a bucket-count-evolution
+    compact, under whose new spec the old bucket ids would prune to the
+    wrong files and leave stale key versions unrewritten."""
     from ..lakehouse.table import CommitConflict
 
     src = reduced.drop(*STATS_COLS)
@@ -186,9 +192,9 @@ def _merge_reduced(
                 fence=fence,
                 assume_deduped=True,
                 stats=stats,
-                touched=touched,
-                key_range=key_range,
-                bucket_ranges=bucket_ranges,
+                touched=touched if attempt == 0 else None,
+                key_range=key_range if attempt == 0 else None,
+                bucket_ranges=bucket_ranges if attempt == 0 else None,
             )
         except CommitConflict:
             if attempt == commit_retries:
@@ -268,6 +274,8 @@ def apply_batches_pipelined(
     from concurrent.futures import ThreadPoolExecutor
 
     results: list[dict] = []
+    if not batches:
+        return results
     with ThreadPoolExecutor(max_workers=1, thread_name_prefix="cdc-prefetch") as pool:
         fut = pool.submit(
             _reduce_with_stats, table, batches[0], normalize, n_salts

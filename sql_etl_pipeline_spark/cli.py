@@ -81,6 +81,15 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("--batches", type=int, default=4)
     sp.add_argument("--stream-id", default="replay")
     sp.add_argument("--no-normalize", action="store_true")
+    sp.add_argument(
+        "--first-batch-id",
+        type=int,
+        default=None,
+        help="explicit fence start; default continues after the stream's "
+        "last recorded fence, so a re-run with new events in the directory "
+        "re-applies everything idempotently (LWW makes old events no-ops) "
+        "instead of silently fencing the whole run out",
+    )
 
     sp = sub.add_parser("status", help="print lineage records")
     sp.add_argument("--path", required=True)
@@ -199,11 +208,16 @@ def main(argv: list[str] | None = None) -> int:
                     )
                     for i in range(n)
                 ]
+            first = args.first_batch_id
+            if first is None:
+                last = table.summary.get(f"fence:{args.stream_id}")
+                first = int(last) + 1 if last is not None else 0
             results = apply_batches_pipelined(
                 table,
                 spark,
                 batches,
                 stream_id=args.stream_id,
+                first_batch_id=first,
                 normalize=not args.no_normalize,
             )
             for r in results:

@@ -541,6 +541,26 @@ class LakeTable:
         return {"files": len(new_files)}
 
     # ------------------------------------------------------------------ CDC
+    def _merge_summary(
+        self, fence: tuple[str, int] | None, lsn_hi: int | None
+    ) -> dict[str, Any]:
+        """Snapshot summary for a merge commit: fence, O(1) maintenance
+        counter (merges since the last compact — restart-safe cadence
+        source, so streams never rescan the whole lineage per batch) and
+        the applied-LSN high-water mark (tombstone-purge floor source)."""
+        summary = self.summary
+        if fence is not None:
+            summary[f"fence:{fence[0]}"] = int(fence[1])
+        summary["merges_since_compact"] = (
+            int(summary.get("merges_since_compact", 0)) + 1
+        )
+        if lsn_hi is not None:
+            prev = summary.get("applied_lsn_max")
+            summary["applied_lsn_max"] = (
+                max(int(prev), int(lsn_hi)) if prev is not None else int(lsn_hi)
+            )
+        return summary
+
     def merge_cdc(
         self,
         spark: SparkSession,
@@ -692,9 +712,7 @@ class LakeTable:
                 _shape(src, None), len(touched), kind="delta"
             )
             lo, hi, n_events = _resolve_stats(stats)
-            summary = self.summary
-            if fence is not None:
-                summary[f"fence:{fence[0]}"] = int(fence[1])
+            summary = self._merge_summary(fence, hi)
             lineage = {
                 "op": "merge_cdc",
                 "mode": "mor",
@@ -760,9 +778,7 @@ class LakeTable:
         lo, hi, n_events = _resolve_stats(stats)
         doomed = {f["path"] for f in rewrite}
         keep = [f for f in self.files if f["path"] not in doomed]
-        summary = self.summary
-        if fence is not None:
-            summary[f"fence:{fence[0]}"] = int(fence[1])
+        summary = self._merge_summary(fence, hi)
         lineage = {
             "op": "merge_cdc",
             # rows_written = rows physically written (incl. tombstones),
@@ -842,10 +858,12 @@ class LakeTable:
         partition = None
         if num_buckets is not None and num_buckets != self.num_buckets:
             partition = {"bucket_cols": self.bucket_cols, "num_buckets": nb}
+        summary = self.summary
+        summary["merges_since_compact"] = 0  # cadence counter resets here
         self._commit(
             new_files,
             self.schema,
-            self.summary,
+            summary,
             {
                 "op": "compact",
                 "rows_written": sum(f.get("rows", 0) for f in new_files),

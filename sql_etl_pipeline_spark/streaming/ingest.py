@@ -87,11 +87,16 @@ class CdcStreamIngestor:
         self.batches: list[dict[str, Any]] = []
 
     def _merges_since_last_compact(self) -> int:
-        """Compaction cadence derived from TABLE LINEAGE, not in-memory
-        state: merge commits since the most recent compact commit. Survives
-        stream restarts from checkpoint (an in-memory batch counter would
-        reset every restart, so a stream bounced each N-1 batches would
-        never compact)."""
+        """Compaction cadence from TABLE STATE, not in-memory state —
+        survives stream restarts from checkpoint (an in-memory batch
+        counter would reset every restart, so a stream bounced each N-1
+        batches would never compact). Reads the O(1) snapshot-summary
+        counter (maintained by merge_cdc, reset by compact); tables written
+        before the counter existed fall back to walking lineage newest-
+        first, stopping at the first compact commit."""
+        s = self.table.summary
+        if "merges_since_compact" in s:
+            return int(s["merges_since_compact"])
         n = 0
         for rec in reversed(self.table.lineage_records()):
             if rec.get("op") == "compact":
@@ -139,16 +144,18 @@ class CdcStreamIngestor:
             # tombstones.
             floor = None
             if self.tombstone_lsn_lag is not None:
-                hi = max(
-                    (
-                        r["lsn_max"]
-                        for r in self.table.lineage_records()
-                        if r.get("lsn_max") is not None
-                    ),
-                    default=None,
-                )
+                hi = self.table.summary.get("applied_lsn_max")
+                if hi is None:  # pre-HWM tables: derive from lineage once
+                    hi = max(
+                        (
+                            r["lsn_max"]
+                            for r in self.table.lineage_records()
+                            if r.get("lsn_max") is not None
+                        ),
+                        default=None,
+                    )
                 if hi is not None:
-                    floor = hi - self.tombstone_lsn_lag
+                    floor = int(hi) - self.tombstone_lsn_lag
             # Compaction is best-effort maintenance: the batch's merge has
             # already committed, so a lost optimistic-concurrency race here
             # must never kill the stream — refresh and retry once, then

@@ -65,14 +65,27 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert applied and sum(r["events"] for r in applied) == 400
     c = LakeTable(t3).read(spark).orderBy("conv_id", "turn_idx").collect()
     assert [tuple(r) for r in c] == [tuple(r) for r in a]
-    # replaying with the same stream-id is fenced end-to-end
+    # re-running with the same stream-id auto-continues past the recorded
+    # fence: batches re-apply as LWW no-ops, state unchanged (the
+    # incremental-backfill rerun semantics)
     assert main(
         ["replay", "--path", t3, "--events", log, "--batches", "3",
          "--stream-id", "bf"]
     ) == 0
     lines2 = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
               if x.startswith("{")]
-    assert all(r.get("reason") == "fenced" for r in lines2)
+    assert all(r.get("applied") for r in lines2)
+    c2 = LakeTable(t3).read(spark).orderBy("conv_id", "turn_idx").collect()
+    assert [tuple(r) for r in c2] == [tuple(r) for r in a]
+    # explicit --first-batch-id pins the fence window: a true replay of
+    # already-recorded batch ids is a no-op end-to-end
+    assert main(
+        ["replay", "--path", t3, "--events", log, "--batches", "3",
+         "--stream-id", "bf", "--first-batch-id", "0"]
+    ) == 0
+    lines3 = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+              if x.startswith("{")]
+    assert all(r.get("reason") == "fenced" for r in lines3)
 
     assert main(["status", "--path", t2]) == 0
     recs = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]

@@ -46,3 +46,28 @@ def test_null_sort_key_rejected(spark):
     df = spark.createDataFrame([(1, None), (2, 3.0)], "k int, v double")
     with pytest.raises(ValueError, match="NULL"):
         with_global_row_number(df, [("v", True), ("k", True)])
+
+
+def test_nan_leading_sort_key_rejected(spark):
+    """NaN in the leading sort key must raise (it would silently land in
+    bucket 0 and corrupt every offset), same as NULL."""
+    import pytest
+    from sql_etl_pipeline_spark.analytics.ranking import with_exact_ntile
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (float("nan"), 2), (3.0, 3)], "v double, k int"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        with_exact_ntile(df, 2, [("v", True), ("k", True)], "t").collect()
+
+
+def test_pipelined_empty_batch_list_is_noop(spark, tmp_path):
+    from sql_etl_pipeline_spark.cdc import TRANSCRIPT_SCHEMA
+    from sql_etl_pipeline_spark.cdc.apply import apply_batches_pipelined
+    from sql_etl_pipeline_spark.lakehouse import LakeTable
+
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=2,
+    )
+    assert apply_batches_pipelined(t, spark, []) == []

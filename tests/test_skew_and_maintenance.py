@@ -216,3 +216,47 @@ def test_sorted_compaction_enables_file_pruning(spark, tmp_path):
     assert res["buckets_touched"] == 1
     assert res["files_rewritten"] == 1
     assert res["files_kept_in_touched_buckets"] >= 2
+
+
+def test_merge_retry_after_concurrent_rebucket(spark, tmp_path):
+    """A writer whose reduce (and touched-bucket list) was computed under
+    the OLD bucket spec loses the commit race to a bucket-count-evolution
+    compact; its conflict retry must recompute pruning under the NEW spec —
+    stale bucket ids would skip files holding old key versions and leave
+    duplicate rows."""
+    from sql_etl_pipeline_spark.cdc.apply import _merge_reduced, _reduce_with_stats
+
+    path = str(tmp_path / "t")
+    LakeTable.create(path, TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"], num_buckets=4)
+    a = LakeTable(path)
+    log1 = generate_change_events(spark, 800, n_convs=40, seed=1).cache()
+    apply_batch(a, spark, log1, fence=("s", 0))
+
+    # log2 UPDATES existing keys (same generator, later LSNs via remap)
+    log2 = generate_change_events(spark, 800, n_convs=40, seed=1).withColumn(
+        "lsn", F.col("lsn") + 10_000
+    ).withColumn("text", F.concat(F.lit("v2 "), F.coalesce(F.col("text"), F.lit("")))).cache()
+    reduced, stats, touched, key_range, br = _reduce_with_stats(a, log2)
+
+    # concurrent winner: another handle re-buckets 4 -> 16
+    b = LakeTable(path)
+    b.compact(spark, num_buckets=16)
+
+    res = _merge_reduced(
+        a, spark, reduced, ("s", 1), stats, touched, key_range,
+        commit_retries=2, bucket_ranges=br,
+    )
+    reduced.unpersist()
+    assert res["applied"]
+
+    final = a.refresh().read(spark)
+    # every key exactly once (no stale duplicates), and v2 won everywhere
+    keys = final.groupBy("conv_id", "turn_idx").count()
+    assert keys.filter(F.col("count") > 1).count() == 0
+    got = sorted(tuple(r) for r in final.collect())
+    want = sorted(
+        tuple(r)
+        for r in expected_final_state(log1.unionByName(log2)).collect()
+    )
+    assert got == want
+    log1.unpersist(); log2.unpersist()
