@@ -55,7 +55,7 @@ def expected_state(events):
     return out
 
 
-def run_engine(spark, events, tmp):
+def run_engine(spark, events, tmp, merge_mode="cow"):
     table = LakeTable.create(
         tmp,
         spark.createDataFrame(
@@ -63,6 +63,7 @@ def run_engine(spark, events, tmp):
         ).schema,
         key_cols=["conv_id", "turn_idx"],
         num_buckets=4,
+        merge_mode=merge_mode,
     )
     rows = [
         (op, lsn, KEYS[k][0], KEYS[k][1], f"text-{KEYS[k][0]}-{KEYS[k][1]}-{lsn}", b)
@@ -100,6 +101,30 @@ def test_any_batching_converges_to_global_lww(spark, events):
         assert read_state(table, spark) == expected_state(events)
         # replaying the ENTIRE log again (stale + duplicate events) is a
         # no-op thanks to the per-row LSN guard
+        apply_batch(table, spark, df.drop("b"), normalize=False)
+        assert read_state(table, spark) == expected_state(events)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=event_logs())
+def test_any_batching_converges_mor(spark, events):
+    """Same convergence property on a merge-on-read table: any batching of
+    any adversarial log resolves at read to the global LWW, a mid-run
+    compact never changes the state, and full-log replay is a no-op."""
+    tmp = tempfile.mkdtemp(prefix="prop-mor-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        table, df = run_engine(spark, events, tmp, merge_mode="mor")
+        assert read_state(table, spark) == expected_state(events)
+        table.compact(spark)
+        assert read_state(table, spark) == expected_state(events)
         apply_batch(table, spark, df.drop("b"), normalize=False)
         assert read_state(table, spark) == expected_state(events)
     finally:
