@@ -457,26 +457,26 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money("o_totalprice")).alias("monetary"),
         )
     )
-    from .ranking import with_exact_ntile
+    from .ranking import with_exact_ntiles
 
     # three scale-safe exact NTILE(5)s (bucketed row numbers + broadcast
     # offsets; zero single-partition windows) — reference semantics
     # (/root/reference/src/sql_query_executor.py:471-479) at cluster scale.
-    # Each score is computed INDEPENDENTLY against the persisted rfm base
-    # and joined back as a slim (key, score) frame: chaining them instead
-    # would make each with_exact_ntile's eager bucket-count job re-execute
-    # every previous score's join+window (measured 3x wall on sf0.1).
+    # FUSED: all three scores share ONE bucket-count action, one window
+    # pass over the unpivoted long frame and one join back — vs the round-2
+    # form (one with_exact_ntile per score = 3 eager count jobs + 3 joins,
+    # measured ~2x wall on sf0.1).
     rfm = rfm.persist()
-    specs = [
-        ("r_score", [("recency_days", True), ("c_custkey", True)]),
-        ("f_score", [("frequency", False), ("c_custkey", True)]),
-        ("m_score", [("monetary", False), ("c_custkey", True)]),
-    ]
-    scored = rfm
-    for out_col, order in specs:
-        cols = ["c_custkey"] + sorted({c for c, _ in order} - {"c_custkey"})
-        part = with_exact_ntile(rfm.select(*cols), 5, order, out_col)
-        scored = scored.join(part.select("c_custkey", out_col), "c_custkey")
+    scored = with_exact_ntiles(
+        rfm,
+        5,
+        [
+            ("r_score", "recency_days", True),
+            ("f_score", "frequency", False),
+            ("m_score", "monetary", False),
+        ],
+        ["c_custkey"],
+    )
     return (
         scored.withColumn(
             "rfm_cell",
@@ -599,6 +599,8 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(QUARTER FROM d) AS INTEGER) AS quarter,
            CAST(EXTRACT(MONTH FROM d) AS INTEGER) AS month,
            CAST(DAYOFWEEK(d) + 1 AS INTEGER) AS day_of_week,
+           STRFTIME(d, '%B') AS month_name,
+           STRFTIME(d, '%A') AS day_name,
            CASE WHEN DAYOFWEEK(d) IN (0, 6) THEN TRUE ELSE FALSE END AS is_weekend
     FROM (SELECT UNNEST(GENERATE_SERIES(DATE '2024-01-01', DATE '2024-12-31',
                                         INTERVAL 1 DAY)) AS d)
@@ -619,6 +621,13 @@ def date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("d").cast("int").alias("month"),
         # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday.
         F.dayofweek("d").cast("int").alias("day_of_week"),
+        # F11's TO_CHAR(d,'Month')/'Day' variant (reference
+        # sql/etl_transformations.sql:85,90 for dim_date month_name/day_name).
+        # Postgres blank-pads 'Month' to 9 chars; the engine emits the trimmed
+        # form (what TO_CHAR('FMMonth') gives) — date_format 'MMMM'/'EEEE'
+        # matches DuckDB strftime %B/%A exactly.
+        F.date_format("d", "MMMM").alias("month_name"),
+        F.date_format("d", "EEEE").alias("day_name"),
         F.dayofweek("d").isin(1, 7).alias("is_weekend"),
     ).orderBy("date_key")
 

@@ -32,6 +32,8 @@ and the widest window partition is a tiny fraction of the table.
 
 from __future__ import annotations
 
+from functools import reduce as _reduce
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 #: asinh scale factor: 16 sub-buckets per e-fold of magnitude.
@@ -110,3 +112,97 @@ def with_exact_ntile(
             F.lit(big) + F.floor((rn - 1 - cut) / small_sz) + 1
         )
     return ranked.withColumn(out_col, tile.cast("int")).drop("_ntile_rn")
+
+
+def with_exact_ntiles(
+    df: DataFrame,
+    k: int,
+    specs: list[tuple[str, str, bool]],
+    key_cols: list[str],
+) -> DataFrame:
+    """Add SEVERAL exact ``NTILE(k)`` scores over the same DataFrame with
+    ONE counting action, ONE partitioned window pass and ONE join back —
+    the fused form of calling :func:`with_exact_ntile` per score (which
+    costs an eager bucket-count job + window + join EACH; measured ~2x
+    wall on rfm_segmentation's three scores at sf0.1).
+
+    ``specs`` is ``[(out_col, value_col, ascending)]``; each score's total
+    order is ``(value_col asc|desc, *key_cols asc)`` — i.e. the tiebreak is
+    the unique key, ascending, for every score (the shape all NTILE call
+    sites in this package use). Mechanics: unpivot the persisted base into
+    a long frame tagged ``_spec`` with the sign-adjusted leading value,
+    coarse-bucket it (same asinh bucketing as the single-score path), count
+    ``(spec, bucket)`` groups in one job, broadcast cumulative offsets +
+    per-spec totals back, finish with one ``row_number`` window PARTITIONED
+    BY (spec, bucket), turn row numbers into tiles arithmetically, and
+    pivot the scores back to one row per key. Callers should persist
+    ``df`` first — the long frame selects from it once per spec.
+    """
+    spark = df.sparkSession
+    longs = []
+    for i, (_, value_col, asc) in enumerate(specs):
+        v = F.col(value_col).cast("double")
+        if not asc:
+            v = -v
+        v = F.when(F.isnan(v), F.lit(None).cast("double")).otherwise(v)
+        longs.append(
+            df.select(
+                F.lit(i).alias("_spec"),
+                *[F.col(c) for c in key_cols],
+                v.alias("_v"),
+            )
+        )
+    long_df = _reduce(DataFrame.unionByName, longs).withColumn(
+        "_ob", F.floor(F.asinh(F.col("_v")) * F.lit(_BUCKET_SCALE)).cast("long")
+    )
+    counts = long_df.groupBy("_spec", "_ob").count().collect()
+    if any(r["_ob"] is None for r in counts):
+        bad = sorted({specs[r["_spec"]][1] for r in counts if r["_ob"] is None})
+        raise ValueError(
+            f"NULL or NaN values in NTILE value column(s) {bad}: sort keys "
+            "must be NULL/NaN-free (package determinism convention)"
+        )
+    if not counts:
+        out = df
+        for out_col, _, _ in specs:
+            out = out.withColumn(out_col, F.lit(None).cast("int"))
+        return out
+    per_spec: dict[int, list] = {}
+    for r in counts:
+        per_spec.setdefault(int(r["_spec"]), []).append((int(r["_ob"]), int(r["count"])))
+    off_rows = []
+    for spec_id, pairs in per_spec.items():
+        pairs.sort()
+        n = sum(c for _, c in pairs)
+        acc = 0
+        for ob, cnt in pairs:
+            off_rows.append((spec_id, ob, acc, n))
+            acc += cnt
+    off_df = spark.createDataFrame(off_rows, "_spec int, _ob long, _off long, _n long")
+    w = Window.partitionBy("_spec", "_ob").orderBy(
+        F.asc("_v"), *[F.asc(c) for c in key_cols]
+    )
+    rn = F.col("_off") + F.row_number().over(w)
+    n = F.col("_n")
+    small_sz = F.floor(n / k)
+    big = n % k
+    big_sz = small_sz + F.lit(1)
+    cut = big * big_sz
+    tile = (
+        F.when(small_sz == 0, rn)
+        .when(rn <= cut, F.floor((rn - 1) / big_sz) + 1)
+        .otherwise(big + F.floor((rn - 1 - cut) / small_sz) + 1)
+    )
+    scored_long = (
+        long_df.join(F.broadcast(off_df), ["_spec", "_ob"])
+        .withColumn("_tile", tile.cast("int"))
+        .select(*key_cols, "_spec", "_tile")
+    )
+    scores = (
+        scored_long.groupBy(*key_cols)
+        .pivot("_spec", list(range(len(specs))))
+        .agg(F.first("_tile"))
+    )
+    for i, (out_col, _, _) in enumerate(specs):
+        scores = scores.withColumnRenamed(str(i), out_col)
+    return df.join(scores, key_cols)

@@ -276,32 +276,57 @@ def apply_batches_pipelined(
     results: list[dict] = []
     if not batches:
         return results
+    retired: DataFrame | None = None
+    fut = None
     with ThreadPoolExecutor(max_workers=1, thread_name_prefix="cdc-prefetch") as pool:
-        fut = pool.submit(
-            _reduce_with_stats, table, batches[0], normalize, n_salts
-        )
-        for i in range(len(batches)):
-            reduced, stats, touched, key_range, bucket_ranges = fut.result()
-            if i + 1 < len(batches):
-                fut = pool.submit(
-                    _reduce_with_stats, table, batches[i + 1], normalize, n_salts
-                )
-            fence = (stream_id, first_batch_id + i)
-            try:
-                last = table.summary.get(f"fence:{fence[0]}")
-                if last is not None and int(last) >= int(fence[1]):
-                    results.append(
-                        {"applied": False, "reason": "fenced", "batch_id": fence[1]}
+        try:
+            fut = pool.submit(
+                _reduce_with_stats, table, batches[0], normalize, n_salts
+            )
+            for i in range(len(batches)):
+                reduced, stats, touched, key_range, bucket_ranges = fut.result()
+                if i + 1 < len(batches):
+                    fut = pool.submit(
+                        _reduce_with_stats, table, batches[i + 1], normalize, n_salts
                     )
                 else:
-                    results.append(
-                        _merge_reduced(
-                            table, spark, reduced, fence, stats, touched,
-                            key_range, commit_retries, bucket_ranges,
+                    fut = None
+                # Unpersist batch i-1's frame one merge LATE: by the time
+                # batch i's merge starts, every job that read batch i-1's
+                # cached blocks has fully completed, so block removal can no
+                # longer race a task-completion accumulator update (the
+                # benign-but-noisy "non-existent accumulator" DAGScheduler
+                # ERROR that tailed every pipelined bench run).
+                if retired is not None:
+                    retired.unpersist()
+                    retired = None
+                fence = (stream_id, first_batch_id + i)
+                try:
+                    last = table.summary.get(f"fence:{fence[0]}")
+                    if last is not None and int(last) >= int(fence[1]):
+                        results.append(
+                            {"applied": False, "reason": "fenced", "batch_id": fence[1]}
                         )
-                    )
-            finally:
-                reduced.unpersist()
+                    else:
+                        results.append(
+                            _merge_reduced(
+                                table, spark, reduced, fence, stats, touched,
+                                key_range, commit_retries, bucket_ranges,
+                            )
+                        )
+                finally:
+                    retired = reduced
+        finally:
+            # Drain the in-flight prefetch (a merge failure mid-loop would
+            # otherwise leak its persisted frame for the session) and release
+            # the last merged frame; blocking so shutdown is deterministic.
+            if fut is not None:
+                try:
+                    fut.result()[0].unpersist(blocking=True)
+                except Exception:
+                    pass
+            if retired is not None:
+                retired.unpersist(blocking=True)
     return results
 
 
