@@ -55,6 +55,7 @@ import os
 import shutil
 import time
 import uuid
+from collections import Counter
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -713,6 +714,18 @@ class LakeTable:
             )
             lo, hi, n_events = _resolve_stats(stats)
             summary = self._merge_summary(fence, hi)
+            # O(1)-readable depth signal for maintenance scheduling: a skewed
+            # stream can stack many deltas in ONE bucket between cadence
+            # hits, and read fan-in per key is bounded by delta depth — so
+            # the ingestor triggers bucket-scoped compaction on this, not
+            # just on merge count. Computed driver-side over the in-memory
+            # manifest (no Spark job).
+            _depths = Counter(
+                f["bucket"]
+                for f in self.files + new_files
+                if f.get("kind", "base") == "delta"
+            )
+            summary["delta_depth_max"] = max(_depths.values()) if _depths else 0
             lineage = {
                 "op": "merge_cdc",
                 "mode": "mor",
@@ -860,6 +873,7 @@ class LakeTable:
             partition = {"bucket_cols": self.bucket_cols, "num_buckets": nb}
         summary = self.summary
         summary["merges_since_compact"] = 0  # cadence counter resets here
+        summary["delta_depth_max"] = 0  # all deltas folded into base
         self._commit(
             new_files,
             self.schema,
@@ -874,6 +888,79 @@ class LakeTable:
             partition=partition,
         )
         return {"files": len(new_files), "num_buckets": nb}
+
+    def delta_depths(self) -> dict[int, int]:
+        """Per-bucket count of live delta files (MOR read fan-in), from the
+        in-memory manifest — no Spark job, no file listing."""
+        return dict(
+            Counter(
+                f["bucket"] for f in self.files if f.get("kind", "base") == "delta"
+            )
+        )
+
+    def compact_buckets(
+        self,
+        spark: SparkSession,
+        buckets: list[int],
+        purge_tombstones_below_lsn: int | None = None,
+        sort_within_buckets: bool = False,
+        target_file_rows: int | None = None,
+    ) -> dict[str, Any]:
+        """Fold ONLY the given buckets' files (base + deltas, resolved) into
+        fresh base files, carrying every other bucket's files into the new
+        snapshot untouched — the MOR hot-bucket maintenance primitive.
+
+        A skewed change stream stacks deltas in few buckets; a full
+        ``compact()`` would rewrite the whole table to fix them (O(table)
+        write amplification — exactly what MOR exists to avoid). This
+        rewrite is O(deep-bucket bytes): at 100 TB with O(10k) buckets and a
+        Zipf-hot head, depth-triggered bucket compaction keeps per-key read
+        fan-in bounded by ``max_delta_depth`` while the per-compaction cost
+        stays proportional to the hot buckets only. Key-disjointness makes
+        this safe: a key's every version lives in exactly one bucket, so
+        resolving a bucket subset can never lose a newer version held
+        elsewhere. Does NOT reset the full-compaction cadence counter
+        (``merges_since_compact``) — this is partial maintenance, not the
+        scheduled table-wide rewrite.
+        """
+        t0 = time.time()
+        want = set(buckets)
+        keep = [f for f in self.files if f["bucket"] not in want]
+        df = self.read(
+            spark, include_deleted=True, include_meta=True, buckets=sorted(want)
+        )
+        if purge_tombstones_below_lsn is not None:
+            df = df.filter(
+                ~(
+                    F.coalesce(F.col(DELETED_COL), F.lit(False))
+                    & (F.col(LSN_COL) < F.lit(purge_tombstones_below_lsn))
+                )
+            )
+        df = df.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
+        new_files = self._write_buckets(
+            df,
+            len(want),  # one shuffle partition per compacted bucket
+            sort_cols=self.key_cols if sort_within_buckets else None,
+            max_records_per_file=target_file_rows,
+        )
+        all_files = keep + new_files
+        summary = self.summary
+        depths = Counter(
+            f["bucket"] for f in all_files if f.get("kind", "base") == "delta"
+        )
+        summary["delta_depth_max"] = max(depths.values()) if depths else 0
+        self._commit(
+            all_files,
+            self.schema,
+            summary,
+            {
+                "op": "compact_buckets",
+                "rows_written": sum(f.get("rows", 0) for f in new_files),
+                "buckets": sorted(want),
+                "wall_s": round(time.time() - t0, 3),
+            },
+        )
+        return {"files": len(new_files), "buckets": sorted(want)}
 
     def vacuum(self, grace_seconds: float = 600.0) -> int:
         """Delete data files referenced by NO retained snapshot (including

@@ -51,6 +51,7 @@ class CdcStreamIngestor:
         compact_every: int | None = None,
         tombstone_lsn_lag: int | None = None,
         transform=None,
+        max_delta_depth: int | None = None,
     ):
         self.table = table
         self.source_dir = source_dir
@@ -76,6 +77,13 @@ class CdcStreamIngestor:
         # LSN floor (the engine's rewrite_data_files scheduling, SURVEY §7.2)
         self.compact_every = compact_every
         self.tombstone_lsn_lag = tombstone_lsn_lag
+        # MOR read fan-in bound: when any bucket's live delta-file count
+        # exceeds this, the deep buckets are bucket-scope compacted (folded
+        # into base) immediately — the merge-count cadence alone lets a
+        # skewed stream stack unbounded deltas in one hot bucket between
+        # cadence hits. O(1) signal from the snapshot summary
+        # (delta_depth_max), restart-safe like the cadence counter.
+        self.max_delta_depth = max_delta_depth
         # per-batch enrichment hook (DataFrame -> DataFrame), applied inside
         # foreachBatch BEFORE validation and merge. The canonical use is
         # dimension-key resolution — broadcast-join a dimension to swap
@@ -173,13 +181,37 @@ class CdcStreamIngestor:
                         self.table.refresh()
                     else:
                         stats["compact_deferred"] = "commit conflict"
+        elif (
+            self.max_delta_depth is not None
+            and stats.get("applied")
+            and int(self.table.summary.get("delta_depth_max", 0))
+            > self.max_delta_depth
+        ):
+            # depth-triggered partial maintenance: fold ONLY the deep
+            # buckets — O(hot-bucket bytes), not O(table) — so a Zipf-hot
+            # stream keeps bounded read fan-in without table-wide rewrites.
+            deep = sorted(
+                b
+                for b, d in self.table.delta_depths().items()
+                if d > self.max_delta_depth
+            )
+            from ..lakehouse.table import CommitConflict
+
+            for attempt in range(2):
+                try:
+                    stats["compacted_buckets"] = self.table.compact_buckets(
+                        spark, deep
+                    )
+                    break
+                except CommitConflict:
+                    if attempt == 0:
+                        self.table.refresh()
+                    else:
+                        stats["compact_deferred"] = "commit conflict"
         if self.fail_after_merge:
             raise RuntimeError("injected crash between merge commit and checkpoint")
 
-    def run_available_now(self, spark: SparkSession) -> list[dict[str, Any]]:
-        """Process everything currently in the log, then stop (bounded
-        replay). Re-running with the same checkpoint resumes where the last
-        run stopped — including after a crash mid-batch."""
+    def _reader(self, spark: SparkSession):
         reader = (
             spark.readStream.schema(self.event_schema).format(self.source_format)
         )
@@ -187,12 +219,36 @@ class CdcStreamIngestor:
             reader = reader.option(k, v)
         if self.max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        stream = reader.load(self.source_dir)
+        return reader.load(self.source_dir)
+
+    def run_available_now(self, spark: SparkSession) -> list[dict[str, Any]]:
+        """Process everything currently in the log, then stop (bounded
+        replay). Re-running with the same checkpoint resumes where the last
+        run stopped — including after a crash mid-batch."""
         query = (
-            stream.writeStream.foreachBatch(self._apply)
+            self._reader(spark)
+            .writeStream.foreachBatch(self._apply)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )
         query.awaitTermination()
         return self.batches
+
+    def start_continuous(self, spark: SparkSession, processing_time: str = "1 seconds"):
+        """Start the SAME ingest loop under a processing-time trigger —
+        continuous tailing of a live log directory (files appended
+        mid-flight are picked up on later trigger cycles). Returns the
+        ``StreamingQuery``; the caller owns its lifecycle (``stop()``).
+        Exactly-once, fencing, validation, cadence/depth compaction are all
+        per-batch inside ``_apply`` and therefore identical to the bounded
+        ``run_available_now`` path — a restart from the same checkpoint
+        resumes at the next unread file, and a replayed micro-batch hits
+        its fence and no-ops."""
+        return (
+            self._reader(spark)
+            .writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )

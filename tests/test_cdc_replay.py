@@ -281,3 +281,68 @@ def test_dimension_key_resolution_in_foreachbatch(spark, tmp_path):
     exp = expected_final_state(resolve(ev)).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
     assert all(r.conv_id.startswith("sk-") for r in got)
+
+
+def test_continuous_trigger_soak_with_midflight_appends(spark, tmp_path, log):
+    """Processing-time-trigger soak (VERDICT r2 next-round #8): tail a live
+    directory that gets appended MID-FLIGHT, drain >=3 trigger cycles with
+    cadence compaction engaged, stop mid-stream, restart from the same
+    checkpoint, and converge to the one-shot oracle with strictly
+    increasing, gap-free batch fences."""
+    src = str(tmp_path / "log")
+    chunks = [log.filter(F.pmod(F.col("pos"), F.lit(3)) == i) for i in range(3)]
+    chunks[0].orderBy("pos").repartitionByRange(2, "pos").write.parquet(src)
+    table = _new_table(tmp_path)
+    ing = CdcStreamIngestor(
+        table,
+        src,
+        str(tmp_path / "ckpt"),
+        change_event_schema(),
+        stream_id="soak",
+        max_files_per_trigger=1,
+        compact_every=2,
+    )
+    q = ing.start_continuous(spark, processing_time="1 seconds")
+    try:
+        q.processAllAvailable()  # cycle(s) over the initial chunk
+        n0 = len(ing.batches)
+        assert n0 >= 2  # maxFilesPerTrigger=1 over 2 files
+        # live append while the query keeps triggering
+        chunks[1].orderBy("pos").repartitionByRange(2, "pos").write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        assert len(ing.batches) > n0  # picked up mid-flight files
+    finally:
+        q.stop()
+    # mid-stream restart: new ingestor, same checkpoint, more new data
+    chunks[2].orderBy("pos").repartitionByRange(2, "pos").write.mode(
+        "append"
+    ).parquet(src)
+    ing2 = CdcStreamIngestor(
+        table,
+        src,
+        str(tmp_path / "ckpt"),
+        change_event_schema(),
+        stream_id="soak",
+        max_files_per_trigger=1,
+        compact_every=2,
+    )
+    q2 = ing2.start_continuous(spark, processing_time="1 seconds")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    all_batches = ing.batches + ing2.batches
+    applied = [b for b in all_batches if b.get("applied")]
+    assert len(applied) >= 3  # >=3 trigger cycles did real work
+    # fences strictly increase and resume across the restart without a gap
+    ids = [b["batch_id"] for b in all_batches]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert ing2.batches and ing2.batches[0]["batch_id"] == ing.batches[-1]["batch_id"] + 1
+    # cadence compaction fired during the soak
+    assert any("compacted" in b for b in all_batches)
+    ops = [r["op"] for r in table.refresh().lineage_records()]
+    assert "compact" in ops
+    # convergence: engine state == one-shot oracle over the full log
+    assert engine_state(table, spark) == spark_oracle_state(log)

@@ -225,3 +225,51 @@ def test_mor_schema_evolution_mid_log(spark, tmp_path):
     assert rows["c1"].tool is None  # pre-evolution row surfaces NULL
     assert rows["c2"].tool == "calc"
     assert "tool" in [f.name for f in mor.schema.fields]
+
+
+def test_mor_depth_triggered_bucket_compaction(spark, tmp_path):
+    """A hot-bucket stream (every event in ONE conversation) must not stack
+    unbounded deltas between cadence hits: max_delta_depth triggers
+    bucket-scoped compaction, bounding per-key read fan-in, while cold
+    buckets' files stay untouched (VERDICT r2 next-round #7)."""
+    from sql_etl_pipeline_spark.streaming import CdcStreamIngestor
+
+    ddl = ("pos long, op string, lsn long, conv_id string, turn_idx int, "
+           "role string, text string, tool string, ts timestamp")
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 1)
+    # one cold conversation first, then a hot stream on a single conv
+    cold = [(0, "I", 0, "cold", 0, "user", "cold row", None, ts)]
+    hot = [
+        (i + 1, "I" if i < 8 else "U", i + 1, "hot", i % 8, "user",
+         f"text v{i}", None, ts)
+        for i in range(32)
+    ]
+    mor = LakeTable.create(
+        str(tmp_path / "mor"), TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"],
+        num_buckets=8, merge_mode="mor",
+    )
+    src = str(tmp_path / "log")
+    df = spark.createDataFrame(cold + hot, ddl)
+    # 9 single-row-group files -> many micro-batches hitting the hot bucket
+    df.orderBy("pos").repartitionByRange(9, "pos").write.parquet(src)
+    K = 2
+    ing = CdcStreamIngestor(
+        mor, src, str(tmp_path / "ckpt"), df.schema,
+        stream_id="hot", max_files_per_trigger=1, max_delta_depth=K,
+    )
+    batches = ing.run_available_now(spark)
+    assert any("compacted_buckets" in b for b in batches)
+    # invariant: depth never exceeds K at rest (trigger fires the moment
+    # a merge pushes any bucket past K)
+    depths = mor.delta_depths()
+    assert all(d <= K for d in depths.values()), depths
+    ops = [r["op"] for r in mor.lineage_records()]
+    assert "compact_buckets" in ops and "compact" not in ops
+    # state correct: hot rows LWW-resolved, cold row intact
+    state = {(r.conv_id, r.turn_idx): r.text for r in mor.read(spark).collect()}
+    assert state[("cold", 0)] == "cold row"
+    for j in range(8):
+        winner = max(i for i in range(32) if i % 8 == j)
+        assert state[("hot", j)] == f"text v{winner}"
