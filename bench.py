@@ -348,15 +348,21 @@ def run_scaling(levels=(8, 32)) -> dict:
     # own parallelism inside each trial. Its N->4N efficiency is the best any
     # embarrassingly-parallel job can do on this credit-throttled VM at that
     # moment; the workload's efficiency divided by it isolates plan cost
-    # from machine cost.
-    probes = {
-        n: [r["ceiling_probe_s"] for r in runs[n] if r.get("ceiling_probe_s")]
-        for n in levels
+    # from machine cost. Each level's probe reading is taken from the SAME
+    # trial that produced that level's best throughput (not best-of-all
+    # probes) so the ceiling reflects the machine state of the compared
+    # runs, and the ratio is reported UNCLAMPED — a value > 1.0 means the
+    # workload out-scaled a pure-ALU job, which is measurement noise (a
+    # throttled probe), not a plan property, and should be read as such.
+    best_trial = {
+        n: max(runs[n], key=lambda r: r["events_per_sec"]) for n in levels
     }
-    if probes[lo] and probes[hi]:
-        ceiling = (lo * min(probes[lo])) / (hi * min(probes[hi]))
+    if all(best_trial[n].get("ceiling_probe_s") for n in levels):
+        ceiling = (lo * best_trial[lo]["ceiling_probe_s"]) / (
+            hi * best_trial[hi]["ceiling_probe_s"]
+        )
         out["machine_ceiling_eff"] = round(ceiling, 3)
-        out["plan_eff_vs_ceiling"] = round(min(eff / ceiling, 1.0), 3)
+        out["plan_eff_vs_ceiling"] = round(eff / ceiling, 3)
     return out
 
 
