@@ -63,6 +63,21 @@ from sql_etl_pipeline_spark.session import build_session
 FAST_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
+def _machine_probe(spark, cores: int) -> float:
+    """Fixed pure-ALU md5 job at the run's own parallelism (same probe as
+    bench.py's ceiling probe). The sandbox VM is burst-credit throttled:
+    over a ~30 min sustained run the credits drain, so a raw per-group
+    slowdown can be the MACHINE, not table growth. Running this identical
+    job between groups measures machine speed at that moment; per-group
+    throughput normalized by (probe_s / median probe_s) isolates the
+    engine's table-size dependence from the VM's throttle state."""
+    t0 = time.time()
+    spark.range(24_000_000, numPartitions=4 * cores).selectExpr(
+        "sum(length(md5(cast(id as string)))) s"
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
 def _checksum(df, cols):
     """Order-independent content hash: sum of per-row xxhash64 over the
     given columns (NULL-tagged so NULL != '')."""
@@ -86,7 +101,7 @@ def _mk_events(spark, n_events: int, n_convs: int):
     )
 
 
-def phase_a_mor(spark, n_events: int, n_batches: int, group: int) -> dict:
+def phase_a_mor(spark, n_events: int, n_batches: int, group: int, cores: int) -> dict:
     n_convs = max(n_events // 400, 100)
     ev = _mk_events(spark, n_events, n_convs)
     step = n_events // n_batches + 1
@@ -107,6 +122,7 @@ def phase_a_mor(spark, n_events: int, n_batches: int, group: int) -> dict:
     evolve_at = len(groups) // 2  # bucket-count evolution at mid-run
     records: list[dict] = []
     maint_wall = 0.0
+    _machine_probe(spark, cores)  # warm codegen so group-0 probe is honest
     t_all = time.time()
     try:
         for gi, gbatches in enumerate(groups):
@@ -133,6 +149,7 @@ def phase_a_mor(spark, n_events: int, n_batches: int, group: int) -> dict:
                 "files_written_per_batch": [
                     r.get("files_written") for r in results
                 ],
+                "machine_probe_s": _machine_probe(spark, cores),
             }
             # Maintenance BETWEEN groups (never inside a pipelined run:
             # bucket-count evolution changes the bucket expr that the
@@ -176,6 +193,19 @@ def phase_a_mor(spark, n_events: int, n_batches: int, group: int) -> dict:
         round(sum(r["events"] for r in h) / sum(r["wall_s"] for r in h), 1)
         for h in halves
     ]
+    # Machine-normalized halves: scale each group's wall by
+    # (median probe / that group's probe) so VM burst-credit drain over the
+    # run does not read as table-growth degradation (or mask one).
+    probes = sorted(r["machine_probe_s"] for r in records)
+    med_probe = probes[len(probes) // 2]
+    norm_eps = [
+        round(
+            sum(r["events"] for r in h)
+            / sum(r["wall_s"] * (med_probe / r["machine_probe_s"]) for r in h),
+            1,
+        )
+        for h in halves
+    ]
     return {
         "mode": "mor",
         "events": n_events,
@@ -188,6 +218,10 @@ def phase_a_mor(spark, n_events: int, n_batches: int, group: int) -> dict:
         "events_per_sec_first_half": eps[0],
         "events_per_sec_second_half": eps[1],
         "throughput_ratio_second_vs_first_half": round(eps[1] / eps[0], 3),
+        "machine_probe_median_s": med_probe,
+        "events_per_sec_first_half_machine_norm": norm_eps[0],
+        "events_per_sec_second_half_machine_norm": norm_eps[1],
+        "throughput_ratio_machine_norm": round(norm_eps[1] / norm_eps[0], 3),
         "correctness": {
             "rows": int(got["n"]),
             "oracle_rows": int(want["n"]),
@@ -314,7 +348,9 @@ def main() -> None:
     out: dict = {"cpus": cpus, "host_fast_dir": FAST_DIR}
     t0 = time.time()
     if not args.skip_mor:
-        out["phase_a_mor"] = phase_a_mor(spark, args.events, args.batches, args.group)
+        out["phase_a_mor"] = phase_a_mor(
+            spark, args.events, args.batches, args.group, cpus
+        )
     if not args.skip_cow:
         out["phase_b_cow"] = phase_b_cow(
             spark, args.cow_load, args.cow_updates, args.cow_update_events
