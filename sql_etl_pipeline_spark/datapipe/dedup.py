@@ -17,9 +17,13 @@ Scale notes (the 100 TB story):
   shingle's join cost at DF_CAP² at a documented recall trade), and using
   the banded MinHash path as the candidate generator at scale with this as
   the *verifier*;
-* MinHash+LSH is the candidate generator at scale: 16 portable min-hashes,
-  4 bands of 4 → band-bucket self-join touches only probable pairs, then
-  exact Jaccard verifies. Cost is linear in docs + output pairs;
+* MinHash+LSH is the candidate generator at scale: 16 portable min-hashes
+  derived as 4 x 32-bit slices of 4 seeded md5 digests (the standard
+  few-digests/many-slices economy: each 8-hex-char slice is an independent
+  uniform ordering key, so one digest yields 4 min-hash functions at 1/4
+  the hash cost), 4 bands of 4 → band-bucket self-join touches only
+  probable pairs, then exact Jaccard verifies. Cost is linear in docs +
+  output pairs;
 * SimHash gives 32-bit fingerprints; Hamming-≤3 pairs via 4-band pigeonhole
   (a pair within distance 3 must agree on ≥1 of 4 bytes).
 
@@ -214,11 +218,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASH = 16
 _N_BANDS = 4
 _ROWS_PER_BAND = _N_HASH // _N_BANDS
+_SLICES_PER_DIGEST = 4  # 32 hex chars -> 4 slices of 8 (32 bits each)
 
 
 def _sig_sql() -> str:
+    # hash i = 8-hex-char slice (i % 4) of seeded digest (i // 4): 16
+    # orderings from only 4 md5 computations per shingle row. DuckDB and
+    # Spark slice the same hex text, so min-keys agree byte-for-byte.
     mins = ", ".join(
-        f"MIN({sql_seeded_md5(i, 'shingle')}) AS h{i}" for i in range(_N_HASH)
+        f"MIN(substr({sql_seeded_md5(i // _SLICES_PER_DIGEST, 'shingle')}, "
+        f"{(i % _SLICES_PER_DIGEST) * 8 + 1}, 8)) AS h{i}"
+        for i in range(_N_HASH)
     )
     return f"SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
 
@@ -264,14 +274,24 @@ def _bands_sql() -> str:
           >= {_JACCARD_MIN}
     ORDER BY doc_a, doc_b
     """,
-    "near-dup pairs via MinHash (16 hashes) + LSH (4 bands), Jaccard-verified",
+    "near-dup pairs via MinHash (16 hashes from 4 sliced digests) + LSH "
+    "(4 bands), Jaccard-verified",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_index(corpus(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # 4 seeded digests x 4 slices = 16 min-hash orderings; the 4 repeated
+    # md5 sub-expressions are shared across the 16 MINs by Spark's aggregate
+    # subexpression elimination, so each shingle row hashes 4x, not 16x.
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(seeded_md5(i, F.col("shingle"))).alias(f"h{i}")
+            F.min(
+                F.substring(
+                    seeded_md5(i // _SLICES_PER_DIGEST, F.col("shingle")),
+                    (i % _SLICES_PER_DIGEST) * 8 + 1,
+                    8,
+                )
+            ).alias(f"h{i}")
             for i in range(_N_HASH)
         ]
     )

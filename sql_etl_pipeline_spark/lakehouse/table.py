@@ -475,7 +475,17 @@ class LakeTable:
         # ``merge_cdc``/``read(ranges=...)`` actually selective.
         out = df.repartition(max(n_buckets_touched, 1), F.col(BUCKET_COL))
         if sort_cols:
-            out = out.sortWithinPartitions(*sort_cols)
+            # Lead with BUCKET_COL: ``partitionBy`` requires task rows
+            # ordered by the partition column, and if they are not, Spark
+            # inserts its own NON-STABLE sort on bucket alone — which, when
+            # a task carries several buckets (hash collisions in the
+            # repartition), scrambles the within-bucket key order and makes
+            # ``maxRecordsPerFile`` splits produce OVERLAPPING key ranges
+            # (observed: a 5%-keyspace batch "overlapping" 90% of a freshly
+            # sorted-compacted table's files). With bucket first, the
+            # writer's required ordering is a satisfied prefix, no re-sort
+            # happens, and each bucket's files are disjoint sorted slices.
+            out = out.sortWithinPartitions(BUCKET_COL, *sort_cols)
         writer = out.write.partitionBy(BUCKET_COL).mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))

@@ -265,10 +265,17 @@ def phase_b_cow(spark, load_events: int, n_updates: int, upd_events: int) -> dic
         apply_batches_pipelined(
             table, spark, [load], stream_id="load", normalize=True
         )
+        # Size files from the table's RESOLVED row count, not the event
+        # count — LWW collapses ~8 events per key, and a file target scaled
+        # to events leaves ~1 file per bucket, which makes every bucket's
+        # whole content "overlapping" and hides file-scoping entirely.
+        # ~8 files per bucket gives each narrow conv window ~1 overlapping
+        # file per touched bucket.
+        table_rows = table.read(spark).count()
         table.compact(
             spark,
             sort_within_buckets=True,
-            target_file_rows=max(load_events // (32 * 8), 10_000),
+            target_file_rows=max(table_rows // (32 * 8), 2_000),
         )
         total_files = len(table.files)
 
