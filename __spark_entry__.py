@@ -19,10 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sql_etl_pipeline_spark.analytics.queries import QUERIES as _ANALYTICS  # noqa: E402
 from sql_etl_pipeline_spark.cdc.queries import (  # noqa: E402
     CDC_ORACLE_SQL,
+    MV_INCREMENTAL_ORACLE_SQL,
     cdc_apply_engine,
     cdc_apply_lww,
     cdc_apply_mor,
     cdc_apply_stream,
+    conv_summary_mv_incremental,
 )
 
 SMOKE_DIR = "/root/testdata/sf0.001"
@@ -40,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_engine": cdc_apply_engine,
         "cdc_apply_mor": cdc_apply_mor,
         "cdc_apply_stream": cdc_apply_stream,
+        "conv_summary_mv_incremental": conv_summary_mv_incremental,
     }
     for name, spec in _ANALYTICS.items():
         out[name] = spec.fn
@@ -59,6 +62,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_engine": CDC_ORACLE_SQL,
         "cdc_apply_mor": CDC_ORACLE_SQL,
         "cdc_apply_stream": CDC_ORACLE_SQL,
+        "conv_summary_mv_incremental": MV_INCREMENTAL_ORACLE_SQL,
     }
     for name, spec in _ANALYTICS.items():
         if spec.oracle is not None:

@@ -225,3 +225,100 @@ def cdc_apply_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+MV_INCREMENTAL_ORACLE_SQL = f"""
+    WITH ev AS ({_EVENTS_SQL}),
+    w AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY lsn DESC) AS rn
+        FROM ev
+    ),
+    st AS (
+        SELECT conv_id, turn_idx, role, text
+        FROM w WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(MAX(turn_idx) AS INTEGER) AS max_turn
+    FROM st GROUP BY conv_id
+    ORDER BY conv_id
+"""
+
+
+def conv_summary_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MV over the CDC-built transcript table,
+    oracle-gated end-to-end (SURVEY.md §2 S13, the 100 TB variant).
+
+    Engine path: the same 4 out-of-order fenced batches as
+    ``cdc_apply_engine`` land in a COW LakeTable, and AFTER EVERY BATCH the
+    per-conversation summary is refreshed via
+    ``maintain.refresh_summary_incremental`` — bootstrap full build on batch
+    0's version, then snapshot-diff refreshes that recompute only the
+    conversations whose files changed (incl. tombstoned groups, which must
+    vanish from the summary). Hash-matching the one-shot SQL aggregate
+    proves watermarking, affected-group discovery from added+removed files,
+    and the delete-on-vanish merge in a single gate. Reference analogue:
+    the staged date-range DELETE+INSERT summary refresh
+    (``/root/reference/sql/etl_transformations.sql:281-306``) — here the
+    refresh cost is O(changed files), not O(date range rescan).
+    """
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..lakehouse.maintain import refresh_summary_incremental
+
+    ev = derive_change_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc-mvinc-q-")
+    shutil.rmtree(tmp, ignore_errors=True)
+    base_schema = StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"])
+    base = LakeTable.create(
+        f"{tmp}/table", base_schema, key_cols=["conv_id", "turn_idx"], num_buckets=8
+    )
+    summary = LakeTable.create(
+        f"{tmp}/mv",
+        StructType(
+            [
+                StructField("conv_id", StringType(), False),
+                StructField("n_turns", LongType(), True),
+                StructField("total_chars", LongType(), True),
+                StructField("max_turn", IntegerType(), True),
+            ]
+        ),
+        key_cols=["conv_id"],
+        num_buckets=8,
+    )
+
+    def build(df: DataFrame) -> DataFrame:
+        return df.groupBy("conv_id").agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.max("turn_idx").cast("int").alias("max_turn"),
+        )
+
+    try:
+        for i, part in enumerate([2, 0, 3, 1]):  # deliberately out of order
+            batch = ev.filter(F.pmod(F.col("lsn"), F.lit(4)) == part)
+            apply_batch(base, spark, batch, fence=("q", i), normalize=False)
+            refresh_summary_incremental(
+                summary, spark, base, build, group_cols=["conv_id"]
+            )
+        final = f"{tmp}/final"
+        (
+            summary.read(spark)
+            .select("conv_id", "n_turns", "total_chars", "max_turn")
+            .write.mode("overwrite")
+            .parquet(final)
+        )
+        for sub in ("table", "mv"):
+            shutil.rmtree(f"{tmp}/{sub}", ignore_errors=True)
+        return spark.read.parquet(final).orderBy("conv_id")
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

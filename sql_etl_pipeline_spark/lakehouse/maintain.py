@@ -8,18 +8,24 @@ complete new contents in one snapshot swap, so readers see the old summary
 or the new one, never a partial refresh — and time travel keeps the old
 snapshots queryable (``at_version``), which the reference's DELETE cannot.
 
-Partial/incremental refresh at 100 TB is the same call with the query
-restricted to changed partitions plus ``merge_cdc`` on the summary key —
-both building blocks already exist; this helper is the rebuild pattern.
+``refresh_summary`` is the full-rebuild pattern; at 100 TB the interesting
+call is ``refresh_summary_incremental``: snapshot-diff the base table since
+the last refresh watermark, recompute ONLY the affected group keys, and
+``merge_cdc`` the delta into the summary (updates for recomputed groups,
+tombstones for vanished ones). Refresh cost is then O(changed-file bytes +
+affected-group bytes), independent of base-table size — the Iceberg
+incremental-compute shape, vs the reference's full date-range DELETE+INSERT.
 """
 
 from __future__ import annotations
 
-from typing import Any
+import os
+import time
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .table import BUCKET_COL, LakeTable, _bucket_expr
+from .table import BUCKET_COL, DELETED_COL, LakeTable, _bucket_expr, _stat_value
 
 
 def refresh_summary(
@@ -33,8 +39,6 @@ def refresh_summary(
     commit records ``op="refresh_summary"`` lineage, and the previous
     contents stay reachable via time travel until snapshots expire.
     """
-    import time
-
     t0 = time.time()
     schema = summary._evolved_schema(result.schema)
     out = result
@@ -57,3 +61,198 @@ def refresh_summary(
         },
     )
     return {"files": len(new_files), "version": summary.version}
+
+#: lineage ops that rearrange files without changing table CONTENT — their
+#: snapshot diffs must NOT invalidate summary groups (a compaction touches
+#: nearly every file; treating it as data would degrade incremental refresh
+#: to a full rebuild). Unknown/new ops are conservatively treated as data.
+_NON_DATA_OPS = {"create", "compact", "compact_buckets", "refresh_summary", "mv_watermark"}
+
+
+def refresh_summary_incremental(
+    summary: LakeTable,
+    spark: SparkSession,
+    base: LakeTable,
+    build: Callable[[DataFrame], DataFrame],
+    group_cols: list[str],
+    derive: Callable[[DataFrame], DataFrame] | None = None,
+    stream_id: str = "mv",
+) -> dict[str, Any]:
+    """Incrementally refresh ``summary`` = ``build(base rows)`` after CDC.
+
+    ``build`` aggregates base rows to one row per ``group_cols`` value (the
+    summary's ``key_cols`` — enforced). ``derive`` optionally ADDS the group
+    columns to raw base rows first (e.g. ``withColumn("day", to_date(ts))``)
+    when they are not stored columns; default identity.
+
+    Mechanism (the lake-native answer to the reference's full date-range
+    DELETE+INSERT refresh, ``/root/reference/sql/etl_transformations.sql:281-306``):
+
+    1. **Watermark**: the base version the summary reflects is the summary's
+       ``fence:<stream_id>`` — recorded atomically by the same fencing that
+       makes CDC replay exactly-once, so a crashed/replayed refresh is a
+       no-op, and the bootstrap (no watermark) is a full build through the
+       identical merge path.
+    2. **Affected groups by snapshot diff**: walk base versions
+       ``wm+1..cur``; for each DATA commit (op not in ``_NON_DATA_OPS``)
+       diff its file manifest against its parent. Group keys are collected
+       from the rows of ADDED files (new/updated rows; MOR tombstones give
+       keys), plus the rows of REMOVED files (COW pre-images: the old group
+       of a row whose group moved, and deleted rows — a rewritten file
+       always contains the matched keys' pre-images), plus — for MOR data
+       commits, which remove nothing — a key-pruned semi-join of the
+       changed keys against the watermark snapshot (``at_version(wm)``),
+       which yields the same pre-image groups. Reading changed files is
+       O(changed bytes) per refresh, never O(table).
+    3. **Recompute + merge**: re-run ``build`` over base rows semi-joined to
+       the affected groups (file-stat range-pruned when ``group_cols[0]``
+       is the table's leading key), then ``merge_cdc`` into the summary:
+       recomputed groups as updates at ``lsn = cur``, affected groups with
+       no surviving rows as deletes. The summary merge itself is
+       file-scoped COW, so the write cost is O(summary files overlapping
+       the affected groups).
+
+    Falls back to a full rebuild (still through the merge path, with
+    tombstones for vanished groups) when intermediate snapshots have been
+    expired or diffed files already vacuumed — correctness never depends on
+    retention. Returns diagnostics incl. ``mode`` ("incremental" | "full" |
+    "noop") and ``affected_groups``.
+    """
+    t0 = time.time()
+    if list(summary.key_cols) != list(group_cols):
+        raise ValueError(
+            f"summary key_cols {summary.key_cols} must equal group_cols {group_cols}"
+        )
+    ident = derive or (lambda df: df)
+    cur = base.version
+    wm = summary.summary.get(f"fence:{stream_id}")
+    wm = int(wm) if wm is not None else None
+    if wm is not None and wm >= cur:
+        return {"mode": "noop", "reason": "up_to_date", "watermark": wm}
+
+    def _full() -> dict[str, Any]:
+        fresh = build(ident(base.read(spark)))
+        missing = [c for c in group_cols if c not in fresh.columns]
+        if missing:
+            raise ValueError(f"build() output missing group columns {missing}")
+        vanished = (
+            summary.read(spark)
+            .select(*group_cols)
+            .join(fresh.select(*group_cols), on=group_cols, how="left_anti")
+        )
+        res = summary.merge_cdc(
+            spark, _as_events(fresh, vanished, cur), fence=(stream_id, cur)
+        )
+        res.update({"mode": "full", "watermark": cur, "wall_s": round(time.time() - t0, 3)})
+        return res
+
+    def _as_events(fresh: DataFrame, vanished: DataFrame, lsn: int) -> DataFrame:
+        ups = fresh.withColumn("op", F.lit("U"))
+        dels = vanished.withColumn("op", F.lit("D"))
+        return ups.unionByName(dels, allowMissingColumns=True).withColumn(
+            "lsn", F.lit(int(lsn)).cast("long")
+        )
+
+    if wm is None:
+        return _full()
+
+    # ---- snapshot-diff walk: collect added/removed entries of data commits
+    try:
+        snaps = [base.at_version(v) for v in range(wm, cur + 1)]
+    except FileNotFoundError:
+        return _full()
+    added: list[dict[str, Any]] = []
+    removed: list[dict[str, Any]] = []
+    mor_data_commit = False
+    for prev, nxt in zip(snaps, snaps[1:]):
+        lin = nxt._state.get("lineage") or {}
+        if lin.get("op") in _NON_DATA_OPS:
+            continue
+        pp = {f["path"] for f in prev.files}
+        np_ = {f["path"] for f in nxt.files}
+        added.extend(f for f in nxt.files if f["path"] not in pp)
+        removed.extend(f for f in prev.files if f["path"] not in np_)
+        if lin.get("mode") == "mor" or any(
+            f.get("kind", "base") == "delta" for f in nxt.files if f["path"] not in pp
+        ):
+            mor_data_commit = True
+    if not added and not removed:
+        summary._commit(
+            summary.files,
+            summary.schema,
+            {**summary.summary, f"fence:{stream_id}": cur},
+            {"op": "mv_watermark", "rows_written": 0, "buckets": [],
+             "wall_s": round(time.time() - t0, 3)},
+        )
+        return {"mode": "noop", "reason": "no_data_commits", "watermark": cur}
+    # diffed files must still exist (vacuum may have reclaimed removed ones)
+    for f in added + removed:
+        if not os.path.exists(os.path.join(base.path, f["path"])):
+            return _full()
+
+    # ---- affected group keys ------------------------------------------------
+    live = F.coalesce(F.col(DELETED_COL), F.lit(False)) == F.lit(False)
+    added_raw = base._read_file_entries(spark, added)
+    parts = [ident(added_raw.filter(live)).select(*group_cols)]
+    if removed:
+        parts.append(ident(base._read_file_entries(spark, removed)).select(*group_cols))
+    if mor_data_commit:
+        # MOR commits remove no files, so pre-image groups (deletes, group-
+        # moving updates) come from the watermark snapshot instead: key-
+        # pruned scan + semi-join on the changed keys.
+        old = base.at_version(wm)
+        keys = base.key_cols
+        changed_keys = added_raw.select(*keys).distinct()
+        lead = keys[0]
+        kr = changed_keys.agg(F.min(lead), F.max(lead)).collect()[0]
+        pre = old.read(spark, ranges={lead: (kr[0], kr[1])} if kr[0] is not None else None)
+        parts.append(
+            ident(pre.join(changed_keys, on=keys, how="left_semi")).select(*group_cols)
+        )
+    affected = parts[0]
+    for p in parts[1:]:
+        affected = affected.unionByName(p)
+    affected = affected.na.drop(subset=group_cols).distinct().persist()
+    try:
+        n_affected = affected.count()
+        if n_affected == 0:
+            summary._commit(
+                summary.files,
+                summary.schema,
+                {**summary.summary, f"fence:{stream_id}": cur},
+                {"op": "mv_watermark", "rows_written": 0, "buckets": [],
+                 "wall_s": round(time.time() - t0, 3)},
+            )
+            return {"mode": "noop", "reason": "no_affected_groups", "watermark": cur}
+
+        # ---- recompute only the affected groups ----------------------------
+        ranges = None
+        if group_cols[0] == base.key_cols[0]:
+            glo, ghi = affected.agg(F.min(group_cols[0]), F.max(group_cols[0])).collect()[0]
+            if glo is not None:
+                ranges = {group_cols[0]: (glo, ghi)}
+        subset = ident(base.read(spark, ranges=ranges)).join(
+            F.broadcast(affected), on=group_cols, how="left_semi"
+        )
+        fresh = build(subset)
+        missing = [c for c in group_cols if c not in fresh.columns]
+        if missing:
+            raise ValueError(f"build() output missing group columns {missing}")
+        vanished = affected.join(
+            fresh.select(*group_cols), on=group_cols, how="left_anti"
+        )
+        res = summary.merge_cdc(
+            spark, _as_events(fresh, vanished, cur), fence=(stream_id, cur)
+        )
+    finally:
+        affected.unpersist()
+    res.update(
+        {
+            "mode": "incremental",
+            "watermark": cur,
+            "affected_groups": n_affected,
+            "changed_files_read": len(added) + len(removed),
+            "wall_s": round(time.time() - t0, 3),
+        }
+    )
+    return res

@@ -1,0 +1,367 @@
+"""Incremental MV refresh (lakehouse.maintain.refresh_summary_incremental).
+
+The summary must equal a from-scratch ``build(base.read())`` after every
+refresh, while the refresh itself only reads the files CHANGED since the
+watermark. Covers: COW pre-images from removed files, MOR pre-images via
+watermark-snapshot semi-join, group-moving updates on a NON-key group
+column, vanished groups (tombstoned in the summary), compaction commits
+skipped by the diff, idempotent/no-op refreshes, and the full-rebuild
+fallback when snapshots are expired.
+
+Reference analogue: the staged date-range DELETE+INSERT summary refresh
+(/root/reference/sql/etl_transformations.sql:281-306) — rebuilt here as
+snapshot-diff + file-scoped merge, O(changed bytes) per refresh.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sql_etl_pipeline_spark.cdc import TRANSCRIPT_SCHEMA
+from sql_etl_pipeline_spark.cdc.apply import apply_batch
+from sql_etl_pipeline_spark.lakehouse import LakeTable
+from sql_etl_pipeline_spark.lakehouse.maintain import refresh_summary_incremental
+
+EV_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "op string, lsn long, ts timestamp"
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def _base(tmp_path, mode="cow"):
+    return LakeTable.create(
+        str(tmp_path / f"base-{mode}"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=4,
+        merge_mode=mode,
+    )
+
+
+def _conv_summary(tmp_path, name="mv"):
+    return LakeTable.create(
+        str(tmp_path / name),
+        StructType(
+            [
+                StructField("conv_id", StringType(), False),
+                StructField("n_turns", LongType(), True),
+                StructField("total_chars", LongType(), True),
+            ]
+        ),
+        key_cols=["conv_id"],
+        num_buckets=4,
+    )
+
+
+def _build_conv(df):
+    return df.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+def _assert_matches_full(spark, summary, base, build, group_cols):
+    got = {
+        tuple(r)
+        for r in summary.read(spark)
+        .select(*group_cols, "n_turns", "total_chars")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in build(base.read(spark))
+        .select(*group_cols, "n_turns", "total_chars")
+        .collect()
+    }
+    assert got == want, f"summary drifted: extra={got - want} missing={want - got}"
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_incremental_matches_full_rebuild_through_updates_and_deletes(
+    spark, tmp_path, mode
+):
+    base = _base(tmp_path, mode)
+    summary = _conv_summary(tmp_path, f"mv-{mode}")
+
+    b1 = _events(
+        spark,
+        [
+            ("a", 0, "user", "hello", "I", 1, None),
+            ("a", 1, "assistant", "world!", "I", 2, None),
+            ("b", 0, "user", "xx", "I", 3, None),
+            ("c", 0, "user", "yyy", "I", 4, None),
+        ],
+    )
+    apply_batch(base, spark, b1, fence=("s", 0), normalize=False)
+    r1 = refresh_summary_incremental(
+        summary, spark, base.refresh(), _build_conv, ["conv_id"]
+    )
+    assert r1["mode"] == "full"  # bootstrap
+    _assert_matches_full(spark, summary, base, _build_conv, ["conv_id"])
+
+    # update one turn of 'a', delete ALL of 'b' (group must vanish), new 'd'
+    b2 = _events(
+        spark,
+        [
+            ("a", 1, "assistant", "longer reply", "U", 10, None),
+            ("b", 0, "user", "", "D", 11, None),
+            ("d", 0, "user", "fresh", "I", 12, None),
+        ],
+    )
+    apply_batch(base, spark, b2, fence=("s", 1), normalize=False)
+    r2 = refresh_summary_incremental(
+        summary, spark, base.refresh(), _build_conv, ["conv_id"]
+    )
+    assert r2["mode"] == "incremental"
+    _assert_matches_full(spark, summary, base, _build_conv, ["conv_id"])
+    assert (
+        summary.read(spark).filter(F.col("conv_id") == "b").count() == 0
+    ), "vanished group must be tombstoned out of the summary"
+
+    # idempotent: nothing new -> noop, watermark already current
+    r3 = refresh_summary_incremental(
+        summary, spark, base.refresh(), _build_conv, ["conv_id"]
+    )
+    assert r3["mode"] == "noop" and r3["reason"] == "up_to_date"
+
+
+def test_group_moving_update_on_non_key_group_column(spark, tmp_path):
+    """Group column = role (NOT a base key): an update that MOVES a row
+    between groups must recompute BOTH the old and the new group. The old
+    group comes from COW pre-image (removed-file) rows."""
+    base = _base(tmp_path)
+    summary = LakeTable.create(
+        str(tmp_path / "mv-role"),
+        StructType(
+            [
+                StructField("role", StringType(), False),
+                StructField("n_turns", LongType(), True),
+                StructField("total_chars", LongType(), True),
+            ]
+        ),
+        key_cols=["role"],
+        num_buckets=2,
+    )
+
+    def build(df):
+        return df.groupBy("role").agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+
+    apply_batch(
+        base,
+        spark,
+        _events(
+            spark,
+            [
+                ("a", 0, "user", "q1", "I", 1, None),
+                ("a", 1, "tool", "t1", "I", 2, None),
+                ("b", 0, "user", "q2", "I", 3, None),
+            ],
+        ),
+        fence=("s", 0),
+        normalize=False,
+    )
+    refresh_summary_incremental(summary, spark, base.refresh(), build, ["role"])
+
+    # move the ONLY 'tool' row to 'assistant': 'tool' group must vanish
+    apply_batch(
+        base,
+        spark,
+        _events(spark, [("a", 1, "assistant", "t1", "U", 9, None)]),
+        fence=("s", 1),
+        normalize=False,
+    )
+    r = refresh_summary_incremental(summary, spark, base.refresh(), build, ["role"])
+    assert r["mode"] == "incremental"
+    _assert_matches_full(spark, summary, base, build, ["role"])
+    assert summary.read(spark).filter(F.col("role") == "tool").count() == 0
+
+
+def test_mor_delete_invalidates_group_via_preimage(spark, tmp_path):
+    """MOR tombstones blank the payload, so the deleted row's group (role)
+    is only recoverable from the watermark snapshot — the pre-image
+    semi-join path."""
+    base = _base(tmp_path, "mor")
+    summary = LakeTable.create(
+        str(tmp_path / "mv-mor-role"),
+        StructType(
+            [
+                StructField("role", StringType(), False),
+                StructField("n_turns", LongType(), True),
+                StructField("total_chars", LongType(), True),
+            ]
+        ),
+        key_cols=["role"],
+        num_buckets=2,
+    )
+
+    def build(df):
+        return df.groupBy("role").agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+
+    apply_batch(
+        base,
+        spark,
+        _events(
+            spark,
+            [
+                ("a", 0, "user", "q", "I", 1, None),
+                ("a", 1, "tool", "t", "I", 2, None),
+            ],
+        ),
+        fence=("s", 0),
+        normalize=False,
+    )
+    refresh_summary_incremental(summary, spark, base.refresh(), build, ["role"])
+    apply_batch(
+        base,
+        spark,
+        _events(spark, [("a", 1, "tool", "", "D", 9, None)]),
+        fence=("s", 1),
+        normalize=False,
+    )
+    r = refresh_summary_incremental(summary, spark, base.refresh(), build, ["role"])
+    assert r["mode"] == "incremental"
+    _assert_matches_full(spark, summary, base, build, ["role"])
+    assert summary.read(spark).filter(F.col("role") == "tool").count() == 0
+
+
+def test_compaction_commits_do_not_invalidate_groups(spark, tmp_path):
+    """A compaction between refreshes rewrites ~every file; the diff must
+    skip it, so a subsequent 1-conv batch invalidates 1 group and reads only
+    that batch's files — not the whole recompacted table."""
+    base = _base(tmp_path)
+    summary = _conv_summary(tmp_path, "mv-compact")
+    rows = [
+        (f"c{i:03d}", t, "user", f"text {i} {t}", "I", i * 10 + t, None)
+        for i in range(40)
+        for t in range(3)
+    ]
+    apply_batch(base, spark, _events(spark, rows), fence=("s", 0), normalize=False)
+    refresh_summary_incremental(summary, spark, base.refresh(), _build_conv, ["conv_id"])
+
+    base.refresh().compact(spark, sort_within_buckets=True, target_file_rows=10)
+    n_files = len(base.refresh().files)
+    assert n_files > 8, "need a multi-file table for the assertion to bite"
+
+    apply_batch(
+        base,
+        spark,
+        _events(spark, [("c007", 1, "user", "edited", "U", 999, None)]),
+        fence=("s", 1),
+        normalize=False,
+    )
+    r = refresh_summary_incremental(
+        summary, spark, base.refresh(), _build_conv, ["conv_id"]
+    )
+    assert r["mode"] == "incremental"
+    # c007 plus at most the convs cohabiting the one rewritten file (~4 at
+    # 10 rows/file, 3 rows/conv) — NOT the 40 convs of the whole table
+    assert r["affected_groups"] <= 8, r
+    assert r["changed_files_read"] < n_files / 2, (
+        f"diff read {r['changed_files_read']} of {n_files} files — "
+        "compaction commit not skipped?"
+    )
+    _assert_matches_full(spark, summary, base, _build_conv, ["conv_id"])
+
+
+def test_expired_snapshots_fall_back_to_full_rebuild(spark, tmp_path):
+    base = _base(tmp_path)
+    summary = _conv_summary(tmp_path, "mv-expire")
+    for i in range(4):
+        apply_batch(
+            base,
+            spark,
+            _events(spark, [(f"e{i}", 0, "user", f"t{i}", "I", i + 1, None)]),
+            fence=("s", i),
+            normalize=False,
+        )
+        if i == 0:
+            refresh_summary_incremental(
+                summary, spark, base.refresh(), _build_conv, ["conv_id"]
+            )
+    base.refresh().expire_snapshots(keep_last=1)
+    r = refresh_summary_incremental(
+        summary, spark, base.refresh(), _build_conv, ["conv_id"]
+    )
+    assert r["mode"] == "full"  # watermark snapshot gone -> honest fallback
+    _assert_matches_full(spark, summary, base, _build_conv, ["conv_id"])
+
+
+def test_derive_adds_computed_group_column(spark, tmp_path):
+    """Derived group key (turn_parity) exercises the ``derive`` hook on all
+    three collection paths (added rows, removed pre-images, recompute)."""
+    base = _base(tmp_path)
+    summary = LakeTable.create(
+        str(tmp_path / "mv-derived"),
+        StructType(
+            [
+                StructField("turn_parity", IntegerType(), False),
+                StructField("n_turns", LongType(), True),
+                StructField("total_chars", LongType(), True),
+            ]
+        ),
+        key_cols=["turn_parity"],
+        num_buckets=2,
+    )
+
+    def derive(df):
+        return df.withColumn("turn_parity", (F.col("turn_idx") % 2).cast("int"))
+
+    def build(df):
+        return df.groupBy("turn_parity").agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+
+    apply_batch(
+        base,
+        spark,
+        _events(
+            spark,
+            [
+                ("a", 0, "user", "even", "I", 1, None),
+                ("a", 1, "assistant", "odd", "I", 2, None),
+                ("b", 2, "user", "even2", "I", 3, None),
+            ],
+        ),
+        fence=("s", 0),
+        normalize=False,
+    )
+    refresh_summary_incremental(
+        summary, spark, base.refresh(), build, ["turn_parity"], derive=derive
+    )
+    apply_batch(
+        base,
+        spark,
+        _events(spark, [("b", 2, "user", "even2 longer", "U", 9, None)]),
+        fence=("s", 1),
+        normalize=False,
+    )
+    r = refresh_summary_incremental(
+        summary, spark, base.refresh(), build, ["turn_parity"], derive=derive
+    )
+    assert r["mode"] == "incremental"
+    got = {
+        (r_.turn_parity, r_.n_turns, r_.total_chars)
+        for r_ in summary.read(spark).collect()
+    }
+    want = {
+        (r_.turn_parity, r_.n_turns, r_.total_chars)
+        for r_ in build(derive(base.read(spark))).collect()
+    }
+    assert got == want
