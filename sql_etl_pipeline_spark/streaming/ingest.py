@@ -52,6 +52,7 @@ class CdcStreamIngestor:
         tombstone_lsn_lag: int | None = None,
         transform=None,
         max_delta_depth: int | None = None,
+        summaries: list[dict] | None = None,
     ):
         self.table = table
         self.source_dir = source_dir
@@ -92,6 +93,16 @@ class CdcStreamIngestor:
         # (/root/reference/sql/etl_transformations.sql:150-152,184-185).
         # Must be deterministic: a replayed batch re-runs it.
         self.transform = transform
+        # downstream incremental materialized views, kept fresh inside the
+        # stream (the Hudi/Delta "incremental pipeline" shape): each spec is
+        # {"summary": LakeTable, "build": fn, "group_cols": [...],
+        #  "derive": fn|None, "stream_id": str, "every": int} and is
+        # refreshed via maintain.refresh_summary_incremental after every
+        # ``every``-th applied batch (default 1). Restart-safe and
+        # self-healing by construction: the summary's fence watermark is the
+        # base version it reflects, so a skipped/failed/replayed refresh is
+        # simply covered by the next one's snapshot diff — no stream state.
+        self.summaries = list(summaries or [])
         self.batches: list[dict[str, Any]] = []
 
     def _merges_since_last_compact(self) -> int:
@@ -208,6 +219,37 @@ class CdcStreamIngestor:
                         self.table.refresh()
                     else:
                         stats["compact_deferred"] = "commit conflict"
+        if self.summaries and stats.get("applied"):
+            from ..lakehouse.maintain import refresh_summary_incremental
+            from ..lakehouse.table import CommitConflict
+
+            refreshed = []
+            for spec in self.summaries:
+                every = int(spec.get("every", 1))
+                if every > 1 and int(batch_id) % every != every - 1:
+                    continue
+                # a lost commit race must not kill the stream; the unmoved
+                # watermark makes the NEXT refresh cover this one's versions
+                for attempt in range(2):
+                    try:
+                        refreshed.append(
+                            refresh_summary_incremental(
+                                spec["summary"].refresh(),
+                                spark,
+                                self.table,
+                                spec["build"],
+                                spec["group_cols"],
+                                derive=spec.get("derive"),
+                                stream_id=spec.get("stream_id", "mv"),
+                            )
+                        )
+                        break
+                    except CommitConflict:
+                        if attempt == 1:
+                            refreshed.append({"mode": "deferred",
+                                              "reason": "commit conflict"})
+            if refreshed:
+                stats["summary_refreshes"] = refreshed
         if self.fail_after_merge:
             raise RuntimeError("injected crash between merge commit and checkpoint")
 

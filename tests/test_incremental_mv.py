@@ -365,3 +365,109 @@ def test_derive_adds_computed_group_column(spark, tmp_path):
         for r_ in build(derive(base.read(spark))).collect()
     }
     assert got == want
+
+
+def test_streaming_ingest_keeps_summary_fresh(spark, tmp_path):
+    """CdcStreamIngestor with a summaries spec: the MV tracks the table
+    across micro-batches, a stream RESTART (new files, same checkpoint),
+    and paced refresh (every=2 — skipped batches are covered by the next
+    refresh's snapshot diff, so the final state is still exact)."""
+    from sql_etl_pipeline_spark.streaming.ingest import CdcStreamIngestor
+
+    base = _base(tmp_path, "cow")
+    summary = _conv_summary(tmp_path, "mv-stream")
+    log = tmp_path / "log"
+    ckpt = str(tmp_path / "ckpt")
+
+    ev1 = _events(
+        spark,
+        [
+            ("s1", 0, "user", "hello", "I", 1, None),
+            ("s1", 1, "assistant", "hi there", "I", 2, None),
+            ("s2", 0, "user", "aaa", "I", 3, None),
+        ],
+    )
+    ev2 = _events(
+        spark,
+        [
+            ("s1", 1, "assistant", "revised answer", "U", 10, None),
+            ("s2", 0, "user", "", "D", 11, None),
+            ("s3", 0, "user", "new conv", "I", 12, None),
+        ],
+    )
+    ev1.coalesce(1).write.mode("append").parquet(str(log / "f1"))
+    ev2.coalesce(1).write.mode("append").parquet(str(log / "f2"))
+
+    ingestor = CdcStreamIngestor(
+        base,
+        f"{log}/*",
+        ckpt,
+        ev1.schema,
+        stream_id="smv",
+        max_files_per_trigger=1,
+        summaries=[
+            {"summary": summary, "build": _build_conv, "group_cols": ["conv_id"]}
+        ],
+    )
+    ingestor.run_available_now(spark)
+    assert any("summary_refreshes" in b for b in ingestor.batches)
+    _assert_matches_full(spark, summary, base.refresh(), _build_conv, ["conv_id"])
+    assert summary.read(spark).filter(F.col("conv_id") == "s2").count() == 0
+
+    # restart: more files land, same checkpoint — only the new batch applies
+    ev3 = _events(spark, [("s3", 1, "assistant", "reply", "I", 20, None)])
+    ev3.coalesce(1).write.mode("append").parquet(str(log / "f3"))
+    ingestor2 = CdcStreamIngestor(
+        base.refresh(),
+        f"{log}/*",
+        ckpt,
+        ev1.schema,
+        stream_id="smv",
+        max_files_per_trigger=1,
+        summaries=[
+            {"summary": summary, "build": _build_conv, "group_cols": ["conv_id"]}
+        ],
+    )
+    ingestor2.run_available_now(spark)
+    applied = [b for b in ingestor2.batches if b.get("applied")]
+    assert len(applied) == 1, "restart must fence out replayed batches"
+    _assert_matches_full(spark, summary, base.refresh(), _build_conv, ["conv_id"])
+
+
+def test_streaming_summary_paced_refresh_catches_up(spark, tmp_path):
+    """every=2: batch 0's refresh is skipped, batch 1's single refresh must
+    cover BOTH batches' versions via the watermark diff."""
+    from sql_etl_pipeline_spark.streaming.ingest import CdcStreamIngestor
+
+    base = _base(tmp_path, "mor")
+    summary = _conv_summary(tmp_path, "mv-paced")
+    log = tmp_path / "log2"
+    ckpt = str(tmp_path / "ckpt2")
+    _events(spark, [("p1", 0, "user", "one", "I", 1, None)]).coalesce(1).write.parquet(
+        str(log / "f1")
+    )
+    _events(spark, [("p2", 0, "user", "two", "I", 2, None)]).coalesce(1).write.parquet(
+        str(log / "f2")
+    )
+    ingestor = CdcStreamIngestor(
+        base,
+        f"{log}/*",
+        ckpt,
+        EV_SCHEMA
+        if not isinstance(EV_SCHEMA, str)
+        else _events(spark, []).schema,
+        stream_id="pmv",
+        max_files_per_trigger=1,
+        summaries=[
+            {
+                "summary": summary,
+                "build": _build_conv,
+                "group_cols": ["conv_id"],
+                "every": 2,
+            }
+        ],
+    )
+    ingestor.run_available_now(spark)
+    n_refreshes = sum(len(b.get("summary_refreshes", [])) for b in ingestor.batches)
+    assert n_refreshes == 1, ingestor.batches
+    _assert_matches_full(spark, summary, base.refresh(), _build_conv, ["conv_id"])
