@@ -366,10 +366,128 @@ def run_scaling(levels=(8, 32)) -> dict:
     return out
 
 
+def run_mv_refresh() -> dict:
+    """Incremental vs full MV refresh after a NARROW update batch.
+
+    Builds the CDC transcript table from the sf_dir change log, sorted-split
+    compacts it (multi-file buckets — the 100 TB layout), bootstraps a
+    per-conversation summary, lands one narrow high-LSN update batch
+    (~0.7% of conversations), then times (a) the snapshot-diff incremental
+    refresh vs (b) a from-scratch full rebuild into a fresh summary. The
+    speedup is the point of ``refresh_summary_incremental``: refresh cost
+    tracks CHANGED bytes, not table size.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sql_etl_pipeline_spark.cdc.apply import apply_batch
+    from sql_etl_pipeline_spark.cdc.generate import TRANSCRIPT_SCHEMA
+    from sql_etl_pipeline_spark.cdc.queries import derive_change_events
+    from sql_etl_pipeline_spark.lakehouse import LakeTable
+    from sql_etl_pipeline_spark.lakehouse.maintain import (
+        refresh_summary_incremental,
+    )
+
+    spark = _bench_session("bench-mv")
+    tmp = tempfile.mkdtemp(prefix="bench-mv-", dir=FAST_DIR)
+    shutil.rmtree(tmp, ignore_errors=True)
+    schema = StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"])
+    mv_schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("n_turns", LongType(), True),
+            StructField("total_chars", LongType(), True),
+        ]
+    )
+
+    def build(df):
+        return df.groupBy("conv_id").agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+
+    try:
+        ev = derive_change_events(spark, SF_DIR)
+        base = LakeTable.create(
+            f"{tmp}/base", schema, key_cols=["conv_id", "turn_idx"], num_buckets=32
+        )
+        apply_batch(base, spark, ev, fence=("b", 0), normalize=False)
+        rows = base.read(spark).count()
+        base.compact(
+            spark,
+            sort_within_buckets=True,
+            target_file_rows=max(rows // (32 * 4), 1000),
+        )
+        summary = LakeTable.create(
+            f"{tmp}/mv", mv_schema, key_cols=["conv_id"], num_buckets=32
+        )
+        refresh_summary_incremental(summary, spark, base, build, ["conv_id"])
+        n_groups = summary.read(spark).count()
+        # multi-file summary buckets with disjoint sorted ranges: the
+        # refresh's merge then rewrites ~1 file per touched bucket instead
+        # of the whole summary (same layout lever as the base table)
+        summary.compact(
+            spark,
+            sort_within_buckets=True,
+            target_file_rows=max(n_groups // (32 * 4), 500),
+        )
+
+        # lexicographic gotcha: between("c10000","c10999") would also catch
+        # every orderkey with prefix 10[0-9]... (~25% of the keyspace).
+        # Regex-anchor to exactly 6-digit orderkeys 100000-100999 (~0.7%).
+        narrow = (
+            ev.filter(F.col("conv_id").rlike("^c100[0-9]{3}$"))
+            .withColumn("lsn", F.col("lsn") + F.lit(10**15))
+            .withColumn("op", F.lit("U"))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" upd")))
+        )
+        apply_batch(base, spark, narrow, fence=("b", 1), normalize=False)
+
+        t0 = time.time()
+        r = refresh_summary_incremental(summary, spark, base, build, ["conv_id"])
+        t_incr = time.time() - t0
+        assert r["mode"] == "incremental", r
+
+        summary_full = LakeTable.create(
+            f"{tmp}/mv-full", mv_schema, key_cols=["conv_id"], num_buckets=32
+        )
+        t0 = time.time()
+        rf = refresh_summary_incremental(
+            summary_full, spark, base, build, ["conv_id"]
+        )
+        t_full = time.time() - t0
+        assert rf["mode"] == "full", rf
+        return {
+            "metric": "mv_refresh_incremental_vs_full",
+            "unit": "sec",
+            "sf": _sf_from_dir(SF_DIR),
+            "base_rows": rows,
+            "summary_groups": n_groups,
+            "affected_groups": r["affected_groups"],
+            "changed_files_read": r["changed_files_read"],
+            "incremental_s": round(t_incr, 3),
+            "full_rebuild_s": round(t_full, 3),
+            "speedup": round(t_full / t_incr, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     if "--cdc-only" in sys.argv:
         print(json.dumps(run_cdc_only()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--mv" in sys.argv:
+        print(json.dumps(run_mv_refresh()))
     else:
         print(json.dumps(run_suite()))

@@ -297,6 +297,10 @@ def sales_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(money("o_totalprice")).alias("revenue"),
         F.countDistinct("o_custkey").alias("unique_customers"),
     )
+    # Global orderBy window = single partition — deliberately acceptable
+    # HERE ONLY: it runs over the monthly AGGREGATE, whose row count is
+    # bounded by calendar months (~80 at sf0.1, ~tens even at 100x), not by
+    # data volume. Never use this shape over a fact table.
     w = Window.orderBy("month")
     w3 = w.rowsBetween(-2, 0)
     wy = Window.partitionBy(F.year("month")).orderBy("month").rowsBetween(

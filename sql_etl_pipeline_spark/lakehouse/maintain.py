@@ -25,7 +25,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .table import BUCKET_COL, DELETED_COL, LakeTable, _bucket_expr, _stat_value
+from .table import BUCKET_COL, DELETED_COL, LSN_COL, LakeTable, _bucket_expr
 
 
 def refresh_summary(
@@ -95,15 +95,18 @@ def refresh_summary_incremental(
        identical merge path.
     2. **Affected groups by snapshot diff**: walk base versions
        ``wm+1..cur``; for each DATA commit (op not in ``_NON_DATA_OPS``)
-       diff its file manifest against its parent. Group keys are collected
-       from the rows of ADDED files (new/updated rows; MOR tombstones give
-       keys), plus the rows of REMOVED files (COW pre-images: the old group
-       of a row whose group moved, and deleted rows — a rewritten file
-       always contains the matched keys' pre-images), plus — for MOR data
-       commits, which remove nothing — a key-pruned semi-join of the
-       changed keys against the watermark snapshot (``at_version(wm)``),
-       which yields the same pre-image groups. Reading changed files is
-       O(changed bytes) per refresh, never O(table).
+       diff its file manifest against its parent. The EXACTLY-changed keys
+       are those whose per-key max(LSN) differs between the added and
+       removed row sets (COW rewrites carry untouched cohabitant rows on
+       both sides, so they cancel; inserts/deletes appear on one side
+       only). Affected groups are then the changed keys' groups in the
+       added rows (new group) plus in the removed rows (COW pre-image:
+       old group of a group-moving update, deleted rows' group), plus —
+       for MOR data commits, which remove nothing — a key-pruned semi-join
+       of the changed keys against the watermark snapshot
+       (``at_version(wm)``), which yields the same pre-image groups.
+       Everything here reads only the changed files: O(changed bytes) per
+       refresh, never O(table).
     3. **Recompute + merge**: re-run ``build`` over base rows semi-joined to
        the affected groups (file-stat range-pruned when ``group_cols[0]``
        is the table's leading key), then ``merge_cdc`` into the summary:
@@ -190,19 +193,51 @@ def refresh_summary_incremental(
         if not os.path.exists(os.path.join(base.path, f["path"])):
             return _full()
 
-    # ---- affected group keys ------------------------------------------------
+    # ---- exact changed keys -------------------------------------------------
+    # A COW rewrite carries every COHABITING row of the overlapping files
+    # into the added set; invalidating all of them would recompute ~whole
+    # files' worth of groups for a narrow batch (measured: a 0.7%-keyspace
+    # batch "affecting" 25% of groups). Instead, diff per-key max(LSN)
+    # between the added and removed row sets — two aggregations over only
+    # the changed files — and a key is CHANGED iff the maxes differ
+    # (missing on one side included: inserts and brand-new appends). Rows
+    # without an LSN (plain appends) coalesce to -1, so an untouched
+    # cohabitant is -1 on both sides and drops out.
     live = F.coalesce(F.col(DELETED_COL), F.lit(False)) == F.lit(False)
+    keys = base.key_cols
+    lsn_n = F.coalesce(F.col(LSN_COL), F.lit(-1)).alias("_l")
     added_raw = base._read_file_entries(spark, added)
-    parts = [ident(added_raw.filter(live)).select(*group_cols)]
-    if removed:
-        parts.append(ident(base._read_file_entries(spark, removed)).select(*group_cols))
+    a_max = added_raw.select(*keys, lsn_n).groupBy(*keys).agg(F.max("_l").alias("_a"))
+    removed_raw = base._read_file_entries(spark, removed) if removed else None
+    if removed_raw is not None:
+        r_max = (
+            removed_raw.select(*keys, lsn_n).groupBy(*keys).agg(F.max("_l").alias("_r"))
+        )
+        changed_keys = (
+            a_max.join(r_max, on=keys, how="full_outer")
+            .filter(~F.col("_a").eqNullSafe(F.col("_r")))
+            .select(*keys)
+        )
+    else:
+        changed_keys = a_max.select(*keys)
+    changed_keys = changed_keys.persist()
+
+    # ---- affected group keys: new + old groups of exactly-changed keys ------
+    parts = [
+        ident(added_raw.filter(live).join(changed_keys, on=keys, how="left_semi"))
+        .select(*group_cols)
+    ]
+    if removed_raw is not None:
+        # COW pre-images: the changed keys' previous rows (old group of a
+        # group-moving update; deleted rows' group) live in removed files.
+        parts.append(
+            ident(removed_raw.join(changed_keys, on=keys, how="left_semi"))
+            .select(*group_cols)
+        )
     if mor_data_commit:
-        # MOR commits remove no files, so pre-image groups (deletes, group-
-        # moving updates) come from the watermark snapshot instead: key-
-        # pruned scan + semi-join on the changed keys.
+        # MOR commits remove no files, so pre-image groups come from the
+        # watermark snapshot instead: key-pruned scan + semi-join.
         old = base.at_version(wm)
-        keys = base.key_cols
-        changed_keys = added_raw.select(*keys).distinct()
         lead = keys[0]
         kr = changed_keys.agg(F.min(lead), F.max(lead)).collect()[0]
         pre = old.read(spark, ranges={lead: (kr[0], kr[1])} if kr[0] is not None else None)
@@ -214,7 +249,25 @@ def refresh_summary_incremental(
         affected = affected.unionByName(p)
     affected = affected.na.drop(subset=group_cols).distinct().persist()
     try:
-        n_affected = affected.count()
+        # ONE action over the (small, persisted) affected set computes
+        # everything the rest of the refresh needs from it: the empty check,
+        # the leading-group min/max (base-scan file pruning AND the summary
+        # merge's key_range), and — when the summary's bucket columns are
+        # group columns — the touched summary buckets. Passing these into
+        # merge_cdc (with stats and assume_deduped) removes its two
+        # full-plan driver actions and its LWW shuffle: the events frame is
+        # one row per group by construction (fresh ∪ disjoint vanished).
+        aggs = [F.count("*"), F.min(group_cols[0]), F.max(group_cols[0])]
+        buckets_known = set(summary.bucket_cols) <= set(group_cols)
+        sel = affected
+        if buckets_known:
+            sel = affected.withColumn(
+                "_b", _bucket_expr(summary.bucket_cols, summary.num_buckets)
+            )
+            aggs.append(F.collect_set("_b"))
+        row = sel.agg(*aggs).collect()[0]
+        n_affected, glo, ghi = int(row[0]), row[1], row[2]
+        touched = sorted(int(b) for b in row[3]) if buckets_known else None
         if n_affected == 0:
             summary._commit(
                 summary.files,
@@ -227,10 +280,8 @@ def refresh_summary_incremental(
 
         # ---- recompute only the affected groups ----------------------------
         ranges = None
-        if group_cols[0] == base.key_cols[0]:
-            glo, ghi = affected.agg(F.min(group_cols[0]), F.max(group_cols[0])).collect()[0]
-            if glo is not None:
-                ranges = {group_cols[0]: (glo, ghi)}
+        if group_cols[0] == base.key_cols[0] and glo is not None:
+            ranges = {group_cols[0]: (glo, ghi)}
         subset = ident(base.read(spark, ranges=ranges)).join(
             F.broadcast(affected), on=group_cols, how="left_semi"
         )
@@ -241,11 +292,20 @@ def refresh_summary_incremental(
         vanished = affected.join(
             fresh.select(*group_cols), on=group_cols, how="left_anti"
         )
+        # |events| == n_affected exactly: every affected group is either
+        # recomputed (fresh) or vanished — disjoint by the anti-join.
         res = summary.merge_cdc(
-            spark, _as_events(fresh, vanished, cur), fence=(stream_id, cur)
+            spark,
+            _as_events(fresh, vanished, cur),
+            fence=(stream_id, cur),
+            assume_deduped=True,
+            stats=(cur, cur, n_affected),
+            touched=touched,
+            key_range=(glo, ghi),
         )
     finally:
         affected.unpersist()
+        changed_keys.unpersist()
     res.update(
         {
             "mode": "incremental",

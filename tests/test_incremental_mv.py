@@ -269,9 +269,9 @@ def test_compaction_commits_do_not_invalidate_groups(spark, tmp_path):
         summary, spark, base.refresh(), _build_conv, ["conv_id"]
     )
     assert r["mode"] == "incremental"
-    # c007 plus at most the convs cohabiting the one rewritten file (~4 at
-    # 10 rows/file, 3 rows/conv) — NOT the 40 convs of the whole table
-    assert r["affected_groups"] <= 8, r
+    # EXACT invalidation: only c007 changed — cohabitants of the rewritten
+    # file cancel out of the per-key added-vs-removed LSN diff
+    assert r["affected_groups"] == 1, r
     assert r["changed_files_read"] < n_files / 2, (
         f"diff read {r['changed_files_read']} of {n_files} files — "
         "compaction commit not skipped?"
