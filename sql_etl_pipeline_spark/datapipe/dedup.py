@@ -130,13 +130,23 @@ def _shingle_index(c: DataFrame) -> DataFrame:
     frame 3-5x (sizes, signatures, both sides of the verify join) and
     recomputing the tokenize+shingle pipeline per use dominated the wall
     time (46s -> ~12s for MinHash+LSH at sf0.1). At cluster scale the same
-    role is played by writing the index to a temp table."""
+    role is played by writing the index to a temp table.
+
+    EAGER on purpose: a lazy localCheckpoint materializes inside whichever
+    downstream action fires first, and under AQE that action's sibling
+    shuffle-stage tasks can complete AFTER the checkpoint truncates the
+    pre-checkpoint lineage and drops its plan — the weakly-referenced SQL
+    metric accumulators get GC'd and every late task-completion logs a
+    benign-but-noisy "attempted to access non-existent accumulator"
+    DAGScheduler ERROR (observed as a deterministic ~40-line burst at the
+    start of dedup_minhash_lsh in bench runs). Eager checkpointing runs the
+    materialization while this call still holds the plan, closing the race."""
     return c.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(tokens(F.col("text")), _SH_K))).alias(
             "shingle"
         ),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
 
 #: document-frequency cap: shingles present in more than this many documents
