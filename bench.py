@@ -399,7 +399,18 @@ def run_mv_refresh() -> dict:
     spark = _bench_session("bench-mv")
     tmp = tempfile.mkdtemp(prefix="bench-mv-", dir=FAST_DIR)
     shutil.rmtree(tmp, ignore_errors=True)
-    schema = StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"])
+    # SPARK_GRAFT_MV_EVENTS=N swaps the sf-dir change log for the Zipf
+    # generator at N events — the "larger base" mode (round-3 VERDICT item
+    # #4): at sf0.1 the incremental-vs-full gap is driver-floor-bound
+    # (~1.4x); the asymptote only shows once the full rebuild has real
+    # bytes to chew through.
+    gen_events = int(os.environ.get("SPARK_GRAFT_MV_EVENTS", "0"))
+    if gen_events:
+        schema = TRANSCRIPT_SCHEMA
+    else:
+        schema = StructType(
+            [f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"]
+        )
     mv_schema = StructType(
         [
             StructField("conv_id", StringType(), False),
@@ -415,7 +426,20 @@ def run_mv_refresh() -> dict:
         )
 
     try:
-        ev = derive_change_events(spark, SF_DIR)
+        if gen_events:
+            from sql_etl_pipeline_spark.cdc.generate import (
+                generate_change_events,
+            )
+
+            n_convs = max(gen_events // 400, 100)
+            # materialize the log once (a lazy generator plan would be
+            # re-derived by every consumer — same lesson as scale_proof)
+            generate_change_events(
+                spark, gen_events, n_convs=n_convs
+            ).write.mode("overwrite").parquet(f"{tmp}/log")
+            ev = spark.read.parquet(f"{tmp}/log")
+        else:
+            ev = derive_change_events(spark, SF_DIR)
         base = LakeTable.create(
             f"{tmp}/base", schema, key_cols=["conv_id", "turn_idx"], num_buckets=32
         )
@@ -443,8 +467,18 @@ def run_mv_refresh() -> dict:
         # lexicographic gotcha: between("c10000","c10999") would also catch
         # every orderkey with prefix 10[0-9]... (~25% of the keyspace).
         # Regex-anchor to exactly 6-digit orderkeys 100000-100999 (~0.7%).
+        if gen_events:
+            # generator ids are conv-XXXXXXXX: take a ~0.7% mid-range
+            # window (away from the Zipf head so "narrow" stays narrow in
+            # bytes as well as keys)
+            cn = F.substring("conv_id", 6, 8).cast("long")
+            lo = n_convs // 2
+            win = max(n_convs // 150, 1)
+            narrow_filter = (cn >= lo) & (cn < lo + win)
+        else:
+            narrow_filter = F.col("conv_id").rlike("^c100[0-9]{3}$")
         narrow = (
-            ev.filter(F.col("conv_id").rlike("^c100[0-9]{3}$"))
+            ev.filter(narrow_filter)
             .withColumn("lsn", F.col("lsn") + F.lit(10**15))
             .withColumn("op", F.lit("U"))
             .withColumn("text", F.concat(F.col("text"), F.lit(" upd")))
@@ -469,6 +503,7 @@ def run_mv_refresh() -> dict:
             "metric": "mv_refresh_incremental_vs_full",
             "unit": "sec",
             "sf": _sf_from_dir(SF_DIR),
+            "generated_events": gen_events or None,
             "base_rows": rows,
             "summary_groups": n_groups,
             "affected_groups": r["affected_groups"],

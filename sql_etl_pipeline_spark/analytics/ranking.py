@@ -201,8 +201,24 @@ def with_exact_ntiles(
     scores = (
         scored_long.groupBy(*key_cols)
         .pivot("_spec", list(range(len(specs))))
-        .agg(F.first("_tile"))
+        .agg(F.first("_tile").alias("t"), F.count(F.lit(1)).alias("c"))
     )
+    # cardinality guard: one long-frame row per (key, spec) iff key_cols
+    # are unique in df. A duplicate key would otherwise be SILENTLY
+    # collapsed by first() here and re-expanded by the join below. The
+    # check is folded into the tile value itself (not a detached
+    # assert_true column the optimizer could prune) and costs no extra
+    # action — the count rides the pivot aggregation.
     for i, (out_col, _, _) in enumerate(specs):
-        scores = scores.withColumnRenamed(str(i), out_col)
+        scores = scores.withColumn(
+            out_col,
+            F.when(F.col(f"{i}_c") == 1, F.col(f"{i}_t")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "with_exact_ntiles: key_cols are not unique in df "
+                        f"(duplicate key seen while scoring {out_col!r})"
+                    )
+                )
+            ),
+        ).drop(f"{i}_t", f"{i}_c")
     return df.join(scores, key_cols)

@@ -224,6 +224,15 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
+#: per-dim accumulator type for Lloyd's updates: exact decimal addition is
+#: associative+commutative, so the sum is partition-order INVARIANT — the
+#: property that lets ann_ivf_kmeans carry a value-hash oracle (round-3
+#: VERDICT item #2). 26 integer digits of headroom; the double->decimal
+#: cast boundary (x.5e-12) is never exactly representable in binary, so
+#: both engines round identically.
+_SUM_DEC = "decimal(38,12)"
+
+
 def kmeans_centroids(
     e: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
 ) -> list[tuple[int, list[float]]]:
@@ -237,11 +246,18 @@ def kmeans_centroids(
     and the update is 64 JVM ``SUM`` aggregates per cluster, map-side
     combined, so reduce width is k regardless of corpus size. Seeding: the
     k lowest ``vec_id`` vectors (deterministic, no RNG — package
-    convention). Cluster ids are re-labelled by centroid lexicographic
-    order after the final iteration so ids don't depend on seed order.
-    Sub-1e-15 float jitter from partition-order summation cannot change
-    assignments except for exact-tie vectors, hence the k-means IVF query
-    is gated rows-only (deterministic-seed parity, not value hash).
+    convention); ``k`` is clamped to the corpus size (a corpus with < k
+    vectors yields that many clusters instead of an opaque IndexError).
+    Cluster ids are re-labelled by centroid lexicographic order after the
+    final iteration so ids don't depend on seed order.
+
+    **Bit-determinism**: per-dim sums accumulate in DECIMAL(38,12)
+    (exact, order-invariant), and each centroid dim is
+    ``float(decimal_sum) / n`` — one correctly-rounded conversion plus one
+    IEEE double divide, reproduced verbatim by the DuckDB oracle
+    (``CAST(dec AS DOUBLE) / n``). This replaces round 3's double-sum
+    (partition-order jitter at the last ulp, which forced a rows-only
+    gate); ``ann_ivf_kmeans`` is now value-hash gated.
     """
     seeds = (
         e.orderBy("vec_id")
@@ -250,6 +266,9 @@ def kmeans_centroids(
         .collect()
     )
     cents: list[list[float]] = [list(r["emb"]) for r in seeds]
+    if not cents:
+        raise ValueError("kmeans_centroids: empty corpus")
+    k = len(cents)  # clamp: corpus smaller than k seeds fewer clusters
     for _ in range(iters):
         # argmin_{c} squared L2 distance == argmax (2*dot - |c|^2) per row
         scored = F.array(
@@ -270,7 +289,7 @@ def kmeans_centroids(
             .agg(
                 F.count("*").alias("n"),
                 *[
-                    F.sum(F.element_at("emb", i + 1)).alias(f"s{i}")
+                    F.sum(F.element_at("emb", i + 1).cast(_SUM_DEC)).alias(f"s{i}")
                     for i in range(_DIM)
                 ],
             )
@@ -279,18 +298,94 @@ def kmeans_centroids(
         cents_by_id: dict[int, list[float]] = {}
         for r in rows:
             n = r["n"]
-            cents_by_id[r["cluster"]] = [r[f"s{i}"] / n for i in range(_DIM)]
+            cents_by_id[r["cluster"]] = [float(r[f"s{i}"]) / n for i in range(_DIM)]
         # empty clusters keep their previous centroid (standard Lloyd's)
         cents = [cents_by_id.get(i, cents[i]) for i in range(k)]
     ordered = sorted(range(len(cents)), key=lambda i: cents[i])
     return [(rank, cents[i]) for rank, i in enumerate(ordered)]
 
 
+def _kmeans_oracle_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """Unrolled Lloyd's k-means + IVF search as one DuckDB CTE chain —
+    the oracle twin of :func:`ann_ivf_kmeans`. Iteration count is a
+    compile-time constant, so the loop unrolls into ``iters`` CTE pairs;
+    every float operation (dot fold, |c|^2, decimal sum, dec->double cast,
+    divide) mirrors the Spark/driver computation op-for-op (see
+    ``kmeans_centroids`` Bit-determinism note)."""
+
+    def argmin(src_cents: str) -> str:
+        # mirrors F.array_min over struct(d, cid): min d, ties -> min cid
+        return f"""(
+    SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, p.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY -2.0 * list_dot_product(e.emb, p.c)
+                            + list_dot_product(p.c, p.c), p.cid) AS rn
+        FROM e CROSS JOIN {src_cents} p)
+    WHERE rn = 1)"""
+
+    ctes = [
+        f"e AS ({_EMB.replace(', label', '')})",
+        f"""c0 AS (
+    SELECT cid, c FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, emb AS c
+        FROM e)
+    WHERE cid < {k})""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"a{i} AS {argmin(f'c{i - 1}')}")
+        # exact decimal per-dim sums -> double divide (op-for-op the driver
+        # loop's float(Decimal)/n); empty clusters keep the prior centroid
+        ctes.append(f"""n{i} AS (
+    SELECT cid, list(sd ORDER BY dim) AS c FROM (
+        SELECT a.cid, d.dim,
+               CAST(SUM(CAST(a.emb[d.dim] AS DECIMAL(38, 12))) AS DOUBLE)
+                   / COUNT(*) AS sd
+        FROM a{i} a CROSS JOIN generate_series(1, {_DIM}) AS d(dim)
+        GROUP BY a.cid, d.dim)
+    GROUP BY cid)""")
+        ctes.append(f"""c{i} AS (
+    SELECT p.cid, COALESCE(n.c, p.c) AS c
+    FROM c{i - 1} p LEFT JOIN n{i} n USING (cid))""")
+    ctes.append(
+        # relabel by centroid lexicographic order (stable: ties keep cid)
+        f"""cf AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY c, cid) - 1 AS cid, c
+    FROM c{iters})"""
+    )
+    ctes.append(f"cells AS {argmin('cf')}")
+    ctes.append(
+        """q AS (
+    SELECT vec_id AS query_id, emb AS q_emb, cid AS q_cell
+    FROM cells WHERE vec_id < 20)"""
+    )
+    cos = SQL_COS.format(a="q.q_emb", b="c.emb")
+    ctes.append(f"""scored AS (
+    SELECT q.query_id, q.q_cell AS probed_cell,
+           c.vec_id AS neighbor_id, {cos} AS cos
+    FROM q JOIN cells c
+      ON c.cid = q.q_cell AND c.vec_id <> q.query_id)""")
+    ctes.append("""ranked AS (
+    SELECT query_id, probed_cell, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT query_id, CAST(probed_cell AS INTEGER) AS probed_cell,
+           neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_TOPK}
+    ORDER BY query_id, rn
+    """
+    )
+
+
 @register(
     "ann_ivf_kmeans",
-    None,  # Lloyd's float summation is partition-order sensitive at the
-    # last ulp -> rows-only gate (deterministic seeding documented in
-    # kmeans_centroids); the value-hash-gated IVF twin is ann_ivf_label.
+    _kmeans_oracle_sql(),  # value-hash gated since round 4: decimal-exact
+    # Lloyd's sums make the centroids (and so the assignments and cosines)
+    # bit-identical across engines and partition orders.
     "IVF with REAL k-means cells: Lloyd's centroids, probe nearest, top-5",
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

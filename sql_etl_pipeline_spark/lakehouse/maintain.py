@@ -66,7 +66,15 @@ def refresh_summary(
 #: snapshot diffs must NOT invalidate summary groups (a compaction touches
 #: nearly every file; treating it as data would degrade incremental refresh
 #: to a full rebuild). Unknown/new ops are conservatively treated as data.
-_NON_DATA_OPS = {"create", "compact", "compact_buckets", "refresh_summary", "mv_watermark"}
+_NON_DATA_OPS = {"create", "compact", "compact_buckets", "mv_watermark"}
+
+#: ops that replace table CONTENT wholesale (full ``refresh_summary``
+#: swap). Chained on top of one of these, per-key max-LSN diffing is
+#: meaningless — the swapped rows carry no per-row CDC lineage — so an
+#: incremental refresh whose diff window contains one falls back to a full
+#: rebuild instead of silently skipping the commit (round-3 ADVICE item:
+#: classifying these as non-data let a chained MV go stale with no error).
+_FULL_SWAP_OPS = {"refresh_summary"}
 
 
 def refresh_summary_incremental(
@@ -169,6 +177,8 @@ def refresh_summary_incremental(
     mor_data_commit = False
     for prev, nxt in zip(snaps, snaps[1:]):
         lin = nxt._state.get("lineage") or {}
+        if lin.get("op") in _FULL_SWAP_OPS:
+            return _full()
         if lin.get("op") in _NON_DATA_OPS:
             continue
         pp = {f["path"] for f in prev.files}

@@ -860,6 +860,16 @@ class LakeTable:
           ``read(ranges=...)`` and the file-scoped COW merge selective:
           a narrow-key batch then rewrites one file per bucket, not the
           whole bucket.
+
+        Sizing guidance (measured, ``tools/scale_proof.py`` phase B): with
+        F sorted files per bucket, a batch updating ``window_frac`` of the
+        keyspace rewrites ~``window_frac + 1/F`` of the table's files, so
+        pick ``target_file_rows ~= bucket_rows / F`` with F large enough
+        that ``1/F`` is small next to your typical batch's key coverage —
+        F=8 left a 5%-keyspace batch rewriting up to 0.34 of files, F=32
+        bounds it near 0.1 (while keeping files large enough that open/
+        footer overhead stays negligible: tens of thousands of rows or
+        ~10-100 MB at cluster scale).
         """
         t0 = time.time()
         df = self.read(spark, include_deleted=True, include_meta=True)

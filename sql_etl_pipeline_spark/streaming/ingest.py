@@ -228,8 +228,11 @@ class CdcStreamIngestor:
                 every = int(spec.get("every", 1))
                 if every > 1 and int(batch_id) % every != every - 1:
                     continue
-                # a lost commit race must not kill the stream; the unmoved
-                # watermark makes the NEXT refresh cover this one's versions
+                # a failed refresh must not kill the stream: a lost commit
+                # race gets ONE in-batch retry; any other error (transient
+                # read failure, vacuum race, ...) defers — the unmoved
+                # watermark makes the NEXT refresh cover this one's
+                # versions either way, so deferral is self-healing.
                 for attempt in range(2):
                     try:
                         refreshed.append(
@@ -248,6 +251,12 @@ class CdcStreamIngestor:
                         if attempt == 1:
                             refreshed.append({"mode": "deferred",
                                               "reason": "commit conflict"})
+                    except Exception as e:  # noqa: BLE001 — see comment
+                        refreshed.append(
+                            {"mode": "deferred",
+                             "reason": f"{type(e).__name__}: {e}"}
+                        )
+                        break
             if refreshed:
                 stats["summary_refreshes"] = refreshed
         if self.fail_after_merge:

