@@ -681,3 +681,70 @@ def daily_sales_summary_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+# --------------------------------------------------------------------------
+# U2: recursive CTE — hierarchy traversal. The reference documents this
+# shape but never executes it (/root/reference/docs/SQL_EXAMPLES.md:316-423,
+# employee/category trees); closing it here makes §2 coverage 87/87.
+# The hierarchy is derived deterministically from customer: parent(k) =
+# k DIV 10, a forest rooted at the single-digit custkeys — shallow (depth
+# = key width), cycle-free by construction, no synthetic side tables.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customer_hierarchy",
+    """
+    WITH RECURSIVE hier AS (
+        SELECT c_custkey AS custkey, c_custkey AS root_custkey,
+               0 AS level, CAST(c_custkey AS VARCHAR) AS path
+        FROM customer WHERE c_custkey <= 9
+        UNION ALL
+        SELECT c.c_custkey, h.root_custkey, h.level + 1,
+               h.path || ' > ' || CAST(c.c_custkey AS VARCHAR)
+        FROM customer c JOIN hier h ON c.c_custkey // 10 = h.custkey
+        WHERE c.c_custkey > 9
+    )
+    SELECT h.custkey, h.root_custkey, h.level, h.path,
+           COALESCE(d.n, 0) AS direct_reports
+    FROM hier h
+    LEFT JOIN (
+        SELECT c_custkey // 10 AS pk, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE c_custkey > 9 GROUP BY 1
+    ) d ON d.pk = h.custkey
+    ORDER BY h.custkey
+    """,
+    "recursive CTE: custkey DIV 10 forest, level + path + direct reports",
+)
+def customer_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 via Spark 4's NATIVE recursive CTE (Catalyst ``UnionLoop``) —
+    declarative, not a driver loop: each recursion step is a distributed
+    hash join against the frontier, and the depth is bounded by the key's
+    digit count (log10 of the keyspace), so at 100 TB this is a handful
+    of joins, each shuffle-partitioned, with the scan pruned to the two
+    referenced columns. Reference analogue (docs-only there):
+    /root/reference/docs/SQL_EXAMPLES.md:316-361.
+    """
+    p = f"{sf_dir}/customer.parquet"
+    return spark.sql(f"""
+        WITH RECURSIVE hier AS (
+            SELECT c_custkey AS custkey, c_custkey AS root_custkey,
+                   0 AS level, CAST(c_custkey AS STRING) AS path
+            FROM parquet.`{p}` WHERE c_custkey <= 9
+            UNION ALL
+            SELECT c.c_custkey, h.root_custkey, h.level + 1,
+                   CONCAT(h.path, ' > ', CAST(c.c_custkey AS STRING))
+            FROM parquet.`{p}` c JOIN hier h ON c.c_custkey DIV 10 = h.custkey
+            WHERE c.c_custkey > 9
+        )
+        SELECT h.custkey, h.root_custkey, h.level, h.path,
+               COALESCE(d.n, CAST(0 AS BIGINT)) AS direct_reports
+        FROM hier h
+        LEFT JOIN (
+            SELECT c_custkey DIV 10 AS pk, CAST(COUNT(*) AS BIGINT) AS n
+            FROM parquet.`{p}` WHERE c_custkey > 9
+            GROUP BY c_custkey DIV 10
+        ) d ON d.pk = h.custkey
+        ORDER BY h.custkey
+    """)

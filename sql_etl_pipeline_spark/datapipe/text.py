@@ -128,15 +128,30 @@ def _sql_count(cls: str) -> str:
                      ELSE 0.0 END, 6) AS distinct_ratio
         FROM t
     )
-    SELECT *,
-           ROUND(0.4 * alpha_ratio + 0.3 * distinct_ratio
-                 + 0.3 * LEAST(n_tokens / 50.0, 1.0), 6) AS quality_score,
-           CASE WHEN 0.4 * alpha_ratio + 0.3 * distinct_ratio
-                     + 0.3 * LEAST(n_tokens / 50.0, 1.0) >= 0.75 THEN 'high'
-                WHEN 0.4 * alpha_ratio + 0.3 * distinct_ratio
-                     + 0.3 * LEAST(n_tokens / 50.0, 1.0) >= 0.5 THEN 'medium'
+    -- score as ONE exact integer rational (see the Spark fn's docstring):
+    -- num/Q == 0.4*alpha + 0.3*distinct + 0.3*min(toks/50, 1), with tier
+    -- thresholds as integer compares — no chained double arithmetic, so
+    -- the engines agree bit-for-bit (chained pre-rounded doubles drifted
+    -- 1 ulp and crossed the 6dp boundary on 4/5000 docs at sf0.1).
+    SELECT r.*,
+           ROUND(CAST(num AS DOUBLE) / q, 6) AS quality_score,
+           CASE WHEN 4 * num >= 3 * q THEN 'high'
+                WHEN 2 * num >= q THEN 'medium'
                 ELSE 'low' END AS quality_tier
-    FROM r ORDER BY doc_id
+    FROM r JOIN (
+        SELECT doc_id,
+               200 * CAST(n_alpha AS BIGINT)
+                   * GREATEST(CAST(len(toks) AS BIGINT), 1)
+             + 150 * CAST(len(list_distinct(toks)) AS BIGINT)
+                   * GREATEST(length(text), 1)
+             + 3 * LEAST(CAST(len(toks) AS BIGINT), 50)
+                 * GREATEST(length(text), 1)
+                 * GREATEST(CAST(len(toks) AS BIGINT), 1) AS num,
+               500 * GREATEST(length(text), 1)
+                   * GREATEST(CAST(len(toks) AS BIGINT), 1) AS q
+        FROM t
+    ) s USING (doc_id)
+    ORDER BY doc_id
     """,
     "per-doc quality ratios (alpha/digit/punct/distinct) + score + tier",
 )
@@ -158,7 +173,28 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ln = F.greatest(F.length("text"), F.lit(1))
     n_toks = F.size("toks")
-    r = t.select(
+    # Exact-rational score: with A=n_alpha, L=max(len,1), T=n_tokens,
+    # Tn=max(T,1), D=n_distinct,
+    #   0.4*A/L + 0.3*D/Tn + 0.3*min(T,50)/50  ==  num / Q
+    #   num = 200*A*Tn + 150*D*L + 3*min(T,50)*L*Tn,  Q = 500*L*Tn
+    # num and Q are exact BIGINTs (< 2^53 by construction), so the single
+    # final division produces the SAME double in Spark and DuckDB, and the
+    # tier cut-offs (>= 0.75, >= 0.5) become exact integer compares
+    # 4*num >= 3*Q / 2*num >= Q. Chaining the pre-rounded double ratios
+    # instead drifted 1 ulp across engines and flipped the 6th decimal on
+    # 4 of 5000 docs at sf0.1.
+    a_l = F.col("n_alpha").cast("long")
+    d_l = F.size(F.array_distinct("toks")).cast("long")
+    t_l = n_toks.cast("long")
+    tn = F.greatest(t_l, F.lit(1))
+    l_l = ln.cast("long")
+    num = (
+        F.lit(200) * a_l * tn
+        + F.lit(150) * d_l * l_l
+        + F.lit(3) * F.least(t_l, F.lit(50)) * l_l * tn
+    )
+    q = F.lit(500) * l_l * tn
+    return t.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         n_toks.cast("long").alias("n_tokens"),
@@ -176,20 +212,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("distinct_ratio"),
-    )
-    score = (
-        0.4 * F.col("alpha_ratio")
-        + 0.3 * F.col("distinct_ratio")
-        + 0.3 * F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
-    )
-    return (
-        r.withColumn("quality_score", F.round(score, 6))
-        .withColumn(
-            "quality_tier",
-            F.when(score >= 0.75, "high").when(score >= 0.5, "medium").otherwise("low"),
-        )
-        .orderBy("doc_id")
-    )
+        F.round(num.cast("double") / q, 6).alias("quality_score"),
+        F.when(4 * num >= 3 * q, "high")
+        .when(2 * num >= q, "medium")
+        .otherwise("low")
+        .alias("quality_tier"),
+    ).orderBy("doc_id")
 
 
 # ------------------------------------------------------------- language ID
