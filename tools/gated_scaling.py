@@ -93,15 +93,18 @@ def run_one_attempt(gate_probe: dict, trials: int, events: int) -> dict:
         result = bench.run_scaling()
     finally:
         os.unlink(MARKER)
+    post_probe = quick_ceiling()
     rec = {
         "attempt": next_attempt_no(),
         "ts": datetime.now().strftime("%H:%M:%S"),
         "round": 4,
         "note": (
             f"{events // 10**6}M events, levels (2,8), {trials} trials, "
-            f"PROBE-GATED (pre-probe ceiling {gate_probe['ceiling']})"
+            f"PROBE-GATED (pre-probe ceiling {gate_probe['ceiling']}, "
+            f"post-probe {post_probe['ceiling']})"
         ),
         "gate_probe": gate_probe,
+        "post_probe": post_probe,
         "result": result,
     }
     with open(ATTEMPTS, "a") as f:
@@ -137,16 +140,21 @@ def main() -> None:
             continue
         rec = run_one_attempt(probe, args.trials, args.events)
         res = rec["result"]
-        held = res.get("machine_ceiling_eff", 0) >= args.gate
-        if held:
-            clean += 1
+        # every gated attempt counts toward --target: the gate (same-moment
+        # pre-probe >= gate ceiling) IS the clean-window criterion — do NOT
+        # filter on the measured efficiency (that would be cherry-picking)
+        # or on the in-JVM ceiling probes (they run right after the timed
+        # apply, on the credits it just depleted, so they structurally
+        # under-read single-trial windows).
+        clean += 1
         print(json.dumps({
             "ev": "attempt", "attempt": rec["attempt"],
             "raw_eff": res.get("value"),
             "cal_eff": res.get("value_calibrated"),
-            "ceiling": res.get("machine_ceiling_eff"),
+            "in_jvm_ceiling": res.get("machine_ceiling_eff"),
             "plan_vs_ceiling": res.get("plan_eff_vs_ceiling"),
-            "window_held": held, "clean_so_far": clean,
+            "post_probe": rec["post_probe"]["ceiling"],
+            "gated_attempts": clean,
         }), flush=True)
         time.sleep(args.post_attempt_rest_s)
     print(json.dumps({"ev": "done", "clean_attempts": clean}), flush=True)
