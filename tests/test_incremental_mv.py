@@ -517,3 +517,52 @@ def test_chained_mv_on_full_swap_base_rebuilds_not_stales(spark, tmp_path):
         f"swap commit in the diff window must force a rebuild, got {r1}"
     )
     _assert_matches_full(spark, mv2.refresh(), mid, build2, ["conv_id"])
+
+
+def test_streaming_summary_refresh_error_defers_not_kills(spark, tmp_path):
+    """A summary build that throws mid-stream must NOT kill the streaming
+    query (round-3 ADVICE, ingest.py): the refresh is recorded as deferred
+    with the reason, the batch still applies and commits, and — because
+    the watermark never moved — a later healthy refresh covers the
+    skipped versions exactly."""
+    from sql_etl_pipeline_spark.streaming.ingest import CdcStreamIngestor
+
+    base = _base(tmp_path, "cow")
+    summary = _conv_summary(tmp_path, "mv-err")
+    log = tmp_path / "log"
+
+    ev1 = _events(spark, [("e1", 0, "user", "hello", "I", 1, None),
+                          ("e2", 0, "user", "world", "I", 2, None)])
+    ev1.coalesce(1).write.mode("append").parquet(str(log / "f1"))
+
+    boom = {"on": True}
+
+    def flaky_build(df):
+        if boom["on"]:
+            raise RuntimeError("transient read failure (injected)")
+        return _build_conv(df)
+
+    ingestor = CdcStreamIngestor(
+        base,
+        f"{log}/*",
+        str(tmp_path / "ckpt"),
+        ev1.schema,
+        stream_id="emv",
+        summaries=[
+            {"summary": summary, "build": flaky_build, "group_cols": ["conv_id"]}
+        ],
+    )
+    batches = ingestor.run_available_now(spark)  # must not raise
+    refreshes = [r for b in batches for r in b.get("summary_refreshes", [])]
+    assert refreshes and refreshes[0]["mode"] == "deferred"
+    assert "transient read failure" in refreshes[0]["reason"]
+    assert base.refresh().read(spark).count() == 2, "batch must still apply"
+    assert summary.refresh().read(spark).count() == 0, "no partial refresh"
+
+    # next batch, build healed: ONE refresh covers both versions
+    boom["on"] = False
+    ev2 = _events(spark, [("e3", 0, "user", "late", "I", 3, None)])
+    ev2.coalesce(1).write.mode("append").parquet(str(log / "f2"))
+    ingestor.run_available_now(spark)
+    _assert_matches_full(spark, summary.refresh(), base.refresh(),
+                         _build_conv, ["conv_id"])
