@@ -37,13 +37,21 @@ def build_session(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
+        master = os.environ.get("SPARK_MASTER")
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # Plain-python launch: nothing chose a master, default to local.
+        # Under spark-submit the driver python is spawned by the JVM with
+        # PYSPARK_GATEWAY_PORT set and ``spark.master`` already a system
+        # property — in that case we must NOT call .master() at all, or
+        # ``--master yarn/k8s/...`` would be silently overridden and a
+        # cluster deploy would collapse into a single-JVM run
+        # (exercised end-to-end by tools/submit_proof.py).
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else DEFAULT_SHUFFLE_PARTITIONS
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -59,6 +67,8 @@ def build_session(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if master is not None:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

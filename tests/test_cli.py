@@ -147,3 +147,36 @@ def test_cli_stream_csv_reads_its_own_format(spark, tmp_path, capsys):
     # NULL fidelity: delete tombstones aside, generated rows with empty text
     # normalize to NULL, and no row carries the literal string "\\N"
     assert not any(r.text == "\\N" for r in got)
+
+
+def test_spark_submit_master_is_honored(tmp_path):
+    """Deployability contract: under ``spark-submit --master X`` a
+    ``build_session(master=None)`` must run on X — not silently collapse
+    the deploy into local[*] (or local[$SPARK_GRAFT_CPUS]). Launches one
+    real spark-submit driver in a fresh JVM; the in-process fixtures can't
+    exercise this because the launcher's env is what's under test."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    if shutil.which("spark-submit") is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    job = tmp_path / "job.py"
+    job.write_text(
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "from sql_etl_pipeline_spark.session import build_session\n"
+        "s = build_session('submit-master-test')\n"
+        "print('MASTER', s.sparkContext.master)\n"
+        "s.stop()\n"
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="5")  # must NOT win
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[3]", str(job)],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MASTER local[3]" in proc.stdout, proc.stdout[-2000:]

@@ -1,0 +1,263 @@
+"""Rule-literal deployability + scaling proof via real ``spark-submit``.
+
+north_rule asks for the engine to be "run via spark-submit --py-files on a
+multi-executor cluster at two cluster sizes (N and 4N executors)".  The
+sandbox has no cluster, so cluster-size is evidenced (per the standing
+protocol in BENCH/BASELINE.md) by two parallelism levels on the same
+input — but until round 4 every measurement ran the package in-process
+from the repo tree.  This tool closes the invocation-form gap:
+
+* the package is zipped (``sql_etl_pipeline_spark.zip``) and shipped with
+  ``--py-files``; the job script lives OUTSIDE the repo tree and asserts
+  ``sql_etl_pipeline_spark.__file__`` resolves inside the zip — i.e. what
+  ran is the deployable artifact, not the checkout;
+* the job is launched with ``spark-submit --master local[N]`` at the two
+  standing-protocol levels (2, 8) against the SAME materialized change
+  log (written once, read by both runs);
+* each run replays the log through the CLI verbs (``init`` + ``replay``,
+  the pipelined backfill path) and prints throughput plus a final-state
+  checksum — the two levels must be byte-identical (cross-parallelism
+  determinism, the same invariant the replay/crash tests assert);
+* attempts are probe-gated exactly like tools/gated_scaling.py: a paired
+  trial only burns when the same-moment 2-vs-8-process ALU ceiling is
+  >= --gate (this VM is burst-credit throttled; see BENCH/BASELINE.md
+  "Environment instability").
+
+Run:  python tools/submit_proof.py                 # gated, 12M events
+      python tools/submit_proof.py --smoke         # plumbing check, 500k
+Writes BENCH/submit_proof.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from gated_scaling import membw_ceiling, quick_ceiling  # noqa: E402
+
+FAST = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+WORK = os.path.join(FAST, "submit_proof")
+OUT = os.path.join(REPO, "BENCH", "submit_proof.json")
+
+# The job script is written OUTSIDE the repo tree so that
+# ``import sql_etl_pipeline_spark`` can only resolve via the --py-files
+# zip (python puts the script's own directory on sys.path, not the repo).
+_JOB = '''\
+import json, shutil, sys, tempfile, time
+
+import sql_etl_pipeline_spark as pkg
+from pyspark.sql import functions as F
+
+from sql_etl_pipeline_spark.cdc.apply import apply_batch
+from sql_etl_pipeline_spark.cdc.generate import (
+    TRANSCRIPT_SCHEMA,
+    generate_change_events,
+)
+from sql_etl_pipeline_spark.cli import main as cli_main
+from sql_etl_pipeline_spark.lakehouse.table import LakeTable
+from sql_etl_pipeline_spark.session import build_session
+
+table_path, events_path, batches, work = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4],
+)
+# master=None: build_session must honor spark-submit's --master (the
+# deployability contract this proof exists to exercise).
+spark = build_session("submit-proof")
+master = spark.sparkContext.master
+
+# Warmup outside the timed window: codegen/JIT are per-JVM constants a
+# real cluster pays once per executor lifetime, not per batch (same
+# convention as bench.run_cdc_only).
+wtmp = tempfile.mkdtemp(prefix="warm-", dir=work)
+warm = LakeTable.create(
+    wtmp, TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"],
+    num_buckets=32,
+)
+apply_batch(warm, spark, generate_change_events(spark, 100_000), fence=("w", 0))
+shutil.rmtree(wtmp, ignore_errors=True)
+
+cli_main(["init", "--path", table_path, "--buckets", "32",
+          "--merge-mode", "cow"])
+n_events = spark.read.parquet(events_path).count()
+t0 = time.time()
+cli_main(["replay", "--path", table_path, "--events", events_path,
+          "--batches", str(batches), "--stream-id", "submit"])
+wall = time.time() - t0
+
+final = LakeTable(table_path).read(spark)
+cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+chk = final.agg(
+    F.count("*").alias("n"), F.sum(F.xxhash64(*cols)).alias("h")
+).collect()[0]
+print("SUBMIT_RESULT " + json.dumps({
+    "master": master,
+    "pkg_file": pkg.__file__,
+    "imported_from_zip": ".zip" in pkg.__file__,
+    "events": n_events,
+    "wall_s": round(wall, 3),
+    "events_per_sec": round(n_events / wall, 1),
+    "rows": int(chk["n"]),
+    "checksum": int(chk["h"]),
+}), flush=True)
+spark.stop()
+'''
+
+
+def build_zip(dest: str) -> str:
+    zpath = os.path.join(dest, "sql_etl_pipeline_spark.zip")
+    src = os.path.join(REPO, "sql_etl_pipeline_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return zpath
+
+
+def materialize_events(events_path: str, n: int) -> None:
+    """Write the change log ONCE; both levels read the same bytes."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from sql_etl_pipeline_spark.session import build_session\n"
+        "from sql_etl_pipeline_spark.cdc.generate import generate_change_events\n"
+        "spark = build_session('gen', master='local[8]')\n"
+        # A real log tail is many segment files. repartitionByRange on lsn
+        # keeps files lsn-contiguous (so each replay batch's lsn-range
+        # filter still file-prunes) while giving every batch enough file
+        # splits to feed all cores — with the writer's native ~16 files a
+        # half-range batch saw only ~8 scan tasks and local[8] idled half
+        # its cores through the scan (measured: it cost ~0.3 efficiency).
+        "generate_change_events(spark, %d, n_convs=max(%d // 400, 100),\n"
+        "    skew=2.0, delete_frac=0.001, dup_frac=0.01, ooo_frac=0.01\n"
+        ").repartitionByRange(48, 'lsn')"
+        ".write.mode('overwrite').parquet(%r)\n"
+        "spark.stop()\n" % (REPO, n, n, events_path)
+    )
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   capture_output=True, text=True)
+
+
+def run_level(level: int, zpath: str, job: str, events_path: str,
+              batches: int) -> dict:
+    table = os.path.join(WORK, f"table-l{level}")
+    shutil.rmtree(table, ignore_errors=True)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(level))
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{level}]",
+        "--driver-memory", "8g",
+        "--py-files", zpath,
+        job, table, events_path, str(batches), WORK,
+    ]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          cwd=WORK)
+    line = next(
+        (ln for ln in proc.stdout.splitlines()
+         if ln.startswith("SUBMIT_RESULT ")),
+        None,
+    )
+    if proc.returncode != 0 or line is None:
+        sys.stderr.write(proc.stdout[-3000:] + "\n" + proc.stderr[-3000:])
+        raise RuntimeError(f"spark-submit at local[{level}] failed")
+    shutil.rmtree(table, ignore_errors=True)
+    return json.loads(line[len("SUBMIT_RESULT "):])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=12_000_000)
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--gate", type=float, default=0.9)
+    ap.add_argument("--deadline-min", type=float, default=120)
+    ap.add_argument("--poll-s", type=int, default=240)
+    ap.add_argument("--cooldown-s", type=int, default=45)
+    ap.add_argument("--smoke", action="store_true",
+                    help="500k events, no gate, no cooldown")
+    args = ap.parse_args()
+    levels = tuple(int(x) for x in args.levels.split(","))
+    n = 500_000 if args.smoke else args.events
+
+    os.makedirs(WORK, exist_ok=True)
+    zpath = build_zip(WORK)
+    job = os.path.join(WORK, "submit_job.py")
+    with open(job, "w") as f:
+        f.write(_JOB)
+    events_path = os.path.join(WORK, f"events-{n}")
+    if not os.path.isdir(events_path):
+        materialize_events(events_path, n)
+
+    gate_probe = None
+    if not args.smoke:
+        t_end = time.time() + args.deadline_min * 60
+        while True:
+            gate_probe = quick_ceiling()
+            print(json.dumps({"ev": "probe", **gate_probe}), flush=True)
+            if gate_probe["ceiling"] >= args.gate:
+                break
+            if time.time() > t_end:
+                print(json.dumps({"ev": "giveup"}), flush=True)
+                return
+            time.sleep(args.poll_s)
+
+    results = {}
+    for i, lv in enumerate(levels):
+        if i and not args.smoke:
+            time.sleep(args.cooldown_s)
+        results[lv] = run_level(lv, zpath, job, events_path, args.batches)
+        print(json.dumps({"ev": "level", "level": lv, **results[lv]}),
+              flush=True)
+    post_probe = None if args.smoke else quick_ceiling()
+    # The replay over a PRE-MATERIALIZED log is byte-streaming-heavy
+    # (scan -> shuffle -> parquet write, little compute per byte), so the
+    # relevant single-box ceiling is DRAM bandwidth, not ALU — probe it
+    # at the same moment so raw efficiency can be read against it.
+    membw = None if args.smoke else membw_ceiling()
+
+    rec = {
+        "metric": "spark-submit --py-files CDC replay at two parallelism "
+                  "levels (same materialized log)",
+        "events": n,
+        "batches": args.batches,
+        "levels": {str(k): v for k, v in results.items()},
+        "state_identical": len(
+            {(r["rows"], r["checksum"]) for r in results.values()}
+        ) == 1,
+        "imported_from_zip": all(
+            r["imported_from_zip"] for r in results.values()
+        ),
+        "gate_probe": gate_probe,
+        "post_probe": post_probe,
+        "membw_probe": membw,
+    }
+    if len(levels) == 2:
+        lo, hi = levels
+        rec["scaling_efficiency_raw"] = round(
+            (results[hi]["events_per_sec"] / results[lo]["events_per_sec"])
+            / (hi / lo), 3,
+        )
+        if membw:
+            rec["eff_vs_membw_ceiling"] = round(
+                rec["scaling_efficiency_raw"] / membw["membw_ceiling"], 3
+            )
+    if not args.smoke:
+        out = OUT.replace(".json", f"_b{args.batches}.json")
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=2)
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
