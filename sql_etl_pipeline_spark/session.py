@@ -36,17 +36,20 @@ def build_session(
     override from the command line.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if master is None:
+    # Under spark-submit the driver python is spawned by the JVM with
+    # PYSPARK_GATEWAY_PORT set and ``spark.master`` already a system
+    # property — in that case we must NOT call .master() at all (and must
+    # ignore a stray SPARK_MASTER env, common in docker/standalone
+    # images), or ``--master yarn/k8s/...`` would be silently overridden
+    # and a cluster deploy would collapse into a single-JVM run
+    # (exercised end-to-end by tools/submit_proof.py). Only an explicit
+    # ``master=`` argument outranks the launcher.
+    submitted_launch = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted_launch:
         master = os.environ.get("SPARK_MASTER")
-    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
-        # Plain-python launch: nothing chose a master, default to local.
-        # Under spark-submit the driver python is spawned by the JVM with
-        # PYSPARK_GATEWAY_PORT set and ``spark.master`` already a system
-        # property — in that case we must NOT call .master() at all, or
-        # ``--master yarn/k8s/...`` would be silently overridden and a
-        # cluster deploy would collapse into a single-JVM run
-        # (exercised end-to-end by tools/submit_proof.py).
-        master = f"local[{cpus}]" if cpus else "local[*]"
+        if master is None:
+            # Plain-python launch: nothing chose a master; default local.
+            master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else DEFAULT_SHUFFLE_PARTITIONS
 

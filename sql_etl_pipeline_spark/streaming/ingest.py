@@ -103,6 +103,15 @@ class CdcStreamIngestor:
         # base version it reflects, so a skipped/failed/replayed refresh is
         # simply covered by the next one's snapshot diff — no stream state.
         self.summaries = list(summaries or [])
+        # Deferral is only self-healing for TRANSIENT errors; a
+        # deterministic one (mismatched group_cols, a build() that drops a
+        # group column) would defer on every batch — silent unbounded MV
+        # staleness, the exact failure the maintain._FULL_SWAP_OPS fix
+        # closed elsewhere. Track consecutive deferrals per summary and
+        # escalate (kill the stream with the accumulated reasons) once the
+        # same spec has deferred ``max_refresh_deferrals`` batches in a row.
+        self.max_refresh_deferrals = 5
+        self._refresh_deferrals: dict[int, list[str]] = {}
         self.batches: list[dict[str, Any]] = []
 
     def _merges_since_last_compact(self) -> int:
@@ -224,7 +233,7 @@ class CdcStreamIngestor:
             from ..lakehouse.table import CommitConflict
 
             refreshed = []
-            for spec in self.summaries:
+            for si, spec in enumerate(self.summaries):
                 every = int(spec.get("every", 1))
                 if every > 1 and int(batch_id) % every != every - 1:
                     continue
@@ -232,31 +241,45 @@ class CdcStreamIngestor:
                 # race gets ONE in-batch retry; any other error (transient
                 # read failure, vacuum race, ...) defers — the unmoved
                 # watermark makes the NEXT refresh cover this one's
-                # versions either way, so deferral is self-healing.
+                # versions either way, so a TRANSIENT failure is
+                # self-healing. A DETERMINISTIC one is not (it would defer
+                # on every batch = silent unbounded staleness), so the
+                # same spec deferring max_refresh_deferrals batches in a
+                # row escalates with every recorded reason.
+                outcome = None
                 for attempt in range(2):
                     try:
-                        refreshed.append(
-                            refresh_summary_incremental(
-                                spec["summary"].refresh(),
-                                spark,
-                                self.table,
-                                spec["build"],
-                                spec["group_cols"],
-                                derive=spec.get("derive"),
-                                stream_id=spec.get("stream_id", "mv"),
-                            )
+                        outcome = refresh_summary_incremental(
+                            spec["summary"].refresh(),
+                            spark,
+                            self.table,
+                            spec["build"],
+                            spec["group_cols"],
+                            derive=spec.get("derive"),
+                            stream_id=spec.get("stream_id", "mv"),
                         )
                         break
                     except CommitConflict:
                         if attempt == 1:
-                            refreshed.append({"mode": "deferred",
-                                              "reason": "commit conflict"})
+                            outcome = {"mode": "deferred",
+                                       "reason": "commit conflict"}
                     except Exception as e:  # noqa: BLE001 — see comment
-                        refreshed.append(
-                            {"mode": "deferred",
-                             "reason": f"{type(e).__name__}: {e}"}
-                        )
+                        outcome = {"mode": "deferred",
+                                   "reason": f"{type(e).__name__}: {e}"}
                         break
+                refreshed.append(outcome)
+                if outcome.get("mode") == "deferred":
+                    log = self._refresh_deferrals.setdefault(si, [])
+                    log.append(outcome["reason"])
+                    if len(log) >= self.max_refresh_deferrals:
+                        raise RuntimeError(
+                            f"summary refresh #{si} deferred "
+                            f"{len(log)} consecutive batches — "
+                            "deterministic failure, not a transient; "
+                            "reasons: " + "; ".join(log)
+                        )
+                else:
+                    self._refresh_deferrals.pop(si, None)
             if refreshed:
                 stats["summary_refreshes"] = refreshed
         if self.fail_after_merge:

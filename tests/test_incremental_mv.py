@@ -566,3 +566,43 @@ def test_streaming_summary_refresh_error_defers_not_kills(spark, tmp_path):
     ingestor.run_available_now(spark)
     _assert_matches_full(spark, summary.refresh(), base.refresh(),
                          _build_conv, ["conv_id"])
+
+
+def test_streaming_permanent_refresh_error_escalates(spark, tmp_path):
+    """Deferral self-heals TRANSIENT errors only: a build that fails
+    deterministically on every batch must escalate (kill the stream with
+    the accumulated reasons) after max_refresh_deferrals consecutive
+    deferrals instead of going silently stale forever."""
+    import pytest
+
+    from sql_etl_pipeline_spark.streaming.ingest import CdcStreamIngestor
+
+    base = _base(tmp_path, "cow")
+    summary = _conv_summary(tmp_path, "mv-perm")
+    log = tmp_path / "log-perm"
+
+    def broken_build(df):
+        raise ValueError("group_cols mismatch (injected, deterministic)")
+
+    ingestor = CdcStreamIngestor(
+        base,
+        f"{log}/*",
+        str(tmp_path / "ckpt-perm"),
+        _events(spark, []).schema,
+        stream_id="eperm",
+        summaries=[
+            {"summary": summary, "build": broken_build,
+             "group_cols": ["conv_id"]}
+        ],
+    )
+    ingestor.max_refresh_deferrals = 3
+    for i in range(2):
+        ev = _events(spark, [(f"p{i}", 0, "user", f"t{i}", "I", i + 1, None)])
+        ev.coalesce(1).write.mode("append").parquet(str(log / f"f{i}"))
+        ingestor.run_available_now(spark)  # defers, stream survives
+    ev = _events(spark, [("p9", 0, "user", "t9", "I", 99, None)])
+    ev.coalesce(1).write.mode("append").parquet(str(log / "f9"))
+    with pytest.raises(Exception) as ei:
+        ingestor.run_available_now(spark)
+    assert "3 consecutive batches" in str(ei.value)
+    assert "group_cols mismatch" in str(ei.value)

@@ -187,7 +187,9 @@ def main() -> None:
     ap.add_argument("--smoke", action="store_true",
                     help="500k events, no gate, no cooldown")
     args = ap.parse_args()
-    levels = tuple(int(x) for x in args.levels.split(","))
+    # sorted: efficiency below divides hi-throughput by lo-throughput —
+    # "--levels 8,2" must not silently record (eps2/eps8)/(2/8) ~ 5.0
+    levels = tuple(sorted(int(x) for x in args.levels.split(",")))
     n = 500_000 if args.smoke else args.events
 
     os.makedirs(WORK, exist_ok=True)
@@ -196,7 +198,11 @@ def main() -> None:
     with open(job, "w") as f:
         f.write(_JOB)
     events_path = os.path.join(WORK, f"events-{n}")
-    if not os.path.isdir(events_path):
+    # _SUCCESS guards against reusing a log from a run killed mid-write
+    # (Spark creates the directory first, so isdir alone would replay both
+    # levels against a silently truncated log).
+    if not os.path.exists(os.path.join(events_path, "_SUCCESS")):
+        shutil.rmtree(events_path, ignore_errors=True)
         materialize_events(events_path, n)
 
     gate_probe = None
