@@ -2,10 +2,10 @@
 
 north_rule asks for the engine to be "run via spark-submit --py-files on a
 multi-executor cluster at two cluster sizes (N and 4N executors)".  The
-sandbox has no cluster, so cluster-size is evidenced (per the standing
-protocol in BENCH/BASELINE.md) by two parallelism levels on the same
-input — but until round 4 every measurement ran the package in-process
-from the repo tree.  This tool closes the invocation-form gap:
+sandbox has no multi-HOST cluster, so cluster-size is evidenced (per the
+standing protocol in BENCH/BASELINE.md) by two parallelism levels on the
+same input — but until round 4 every measurement ran the package
+in-process from the repo tree.  This tool closes the invocation-form gap:
 
 * the package is zipped (``sql_etl_pipeline_spark.zip``) and shipped with
   ``--py-files``; the job script lives OUTSIDE the repo tree and asserts
@@ -23,9 +23,19 @@ from the repo tree.  This tool closes the invocation-form gap:
   >= --gate (this VM is burst-credit throttled; see BENCH/BASELINE.md
   "Environment instability").
 
+``--standalone`` goes one step further than ``--master local[N]``: it
+boots a REAL Spark standalone cluster on this host (separate master,
+worker, and executor JVMs; loopback RPC shuffle; Arrow python workers per
+executor) and compares the same job at **1 executor vs 4 executors**
+(2 cores each, ``--executor-cores 2 --total-executor-cores {2,8}``) —
+the rule's "N and 4N executors" literally, minus only the multi-host
+network. The lake's file-based commit protocol assumes shared storage
+(as any lakehouse does); on one host /dev/shm plays that role.
+
 Run:  python tools/submit_proof.py                 # gated, 12M events
       python tools/submit_proof.py --smoke         # plumbing check, 500k
-Writes BENCH/submit_proof.json.
+      python tools/submit_proof.py --standalone --events 24000000 --batches 1
+Writes BENCH/submit_proof[_standalone]_b{batches}.json.
 """
 
 from __future__ import annotations
@@ -99,10 +109,12 @@ cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 chk = final.agg(
     F.count("*").alias("n"), F.sum(F.xxhash64(*cols)).alias("h")
 ).collect()[0]
+infos = spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos()
 print("SUBMIT_RESULT " + json.dumps({
     "master": master,
     "pkg_file": pkg.__file__,
     "imported_from_zip": ".zip" in pkg.__file__,
+    "executors_incl_driver": len(infos),
     "events": n_events,
     "wall_s": round(wall, 3),
     "events_per_sec": round(n_events / wall, 1),
@@ -149,14 +161,69 @@ def materialize_events(events_path: str, n: int) -> None:
                    capture_output=True, text=True)
 
 
+STANDALONE_MASTER = "spark://127.0.0.1:7077"
+
+
+def start_cluster() -> None:
+    """Boot a single-host standalone cluster: one master JVM + one 8-core
+    worker JVM. Executors (separate JVMs again) are carved out of the
+    worker per submission via --executor-cores/--total-executor-cores."""
+    import urllib.request
+
+    sbin = "/opt/spark/sbin"
+    env = dict(
+        os.environ,
+        SPARK_MASTER_HOST="127.0.0.1",
+        SPARK_MASTER_PORT="7077",
+        SPARK_MASTER_WEBUI_PORT="8080",
+        SPARK_WORKER_CORES="8",
+        SPARK_WORKER_MEMORY="48g",
+        SPARK_WORKER_PORT="7178",
+        SPARK_WORKER_WEBUI_PORT="8081",
+    )
+    subprocess.run([f"{sbin}/start-master.sh"], env=env, check=True,
+                   capture_output=True, text=True)
+    subprocess.run([f"{sbin}/start-worker.sh", STANDALONE_MASTER], env=env,
+                   check=True, capture_output=True, text=True)
+    for _ in range(30):
+        try:
+            with urllib.request.urlopen(
+                "http://127.0.0.1:8080/json", timeout=2
+            ) as r:
+                st = json.load(r)
+            if any(w.get("state") == "ALIVE" for w in st.get("workers", [])):
+                return
+        except Exception:
+            pass
+        time.sleep(1)
+    raise RuntimeError("standalone worker did not register with the master")
+
+
+def stop_cluster() -> None:
+    sbin = "/opt/spark/sbin"
+    subprocess.run([f"{sbin}/stop-worker.sh"], capture_output=True)
+    subprocess.run([f"{sbin}/stop-master.sh"], capture_output=True)
+
+
 def run_level(level: int, zpath: str, job: str, events_path: str,
-              batches: int) -> dict:
+              batches: int, standalone: bool = False) -> dict:
     table = os.path.join(WORK, f"table-l{level}")
     shutil.rmtree(table, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(level))
+    if standalone:
+        # N vs 4N EXECUTORS (2 cores each): level is total cores, so
+        # level=2 -> 1 executor, level=8 -> 4 executors, each its own JVM.
+        master_args = [
+            "--master", STANDALONE_MASTER,
+            "--executor-cores", "2",
+            "--executor-memory", "6g",
+            "--total-executor-cores", str(level),
+        ]
+    else:
+        master_args = ["--master", f"local[{level}]"]
     cmd = [
         "spark-submit",
-        "--master", f"local[{level}]",
+        *master_args,
         "--driver-memory", "8g",
         "--py-files", zpath,
         job, table, events_path, str(batches), WORK,
@@ -170,9 +237,17 @@ def run_level(level: int, zpath: str, job: str, events_path: str,
     )
     if proc.returncode != 0 or line is None:
         sys.stderr.write(proc.stdout[-3000:] + "\n" + proc.stderr[-3000:])
-        raise RuntimeError(f"spark-submit at local[{level}] failed")
+        raise RuntimeError(f"spark-submit at level {level} failed")
     shutil.rmtree(table, ignore_errors=True)
-    return json.loads(line[len("SUBMIT_RESULT "):])
+    rec = json.loads(line[len("SUBMIT_RESULT "):])
+    if standalone:
+        want = level // 2
+        got = rec["executors_incl_driver"] - 1
+        if got != want:
+            raise RuntimeError(
+                f"expected {want} executors at level {level}, saw {got}"
+            )
+    return rec
 
 
 def main() -> None:
@@ -186,6 +261,9 @@ def main() -> None:
     ap.add_argument("--cooldown-s", type=int, default=45)
     ap.add_argument("--smoke", action="store_true",
                     help="500k events, no gate, no cooldown")
+    ap.add_argument("--standalone", action="store_true",
+                    help="boot a real standalone cluster and compare "
+                    "1 vs 4 executors (2 cores each) instead of local[N]")
     args = ap.parse_args()
     # sorted: efficiency below divides hi-throughput by lo-throughput —
     # "--levels 8,2" must not silently record (eps2/eps8)/(2/8) ~ 5.0
@@ -219,12 +297,21 @@ def main() -> None:
             time.sleep(args.poll_s)
 
     results = {}
-    for i, lv in enumerate(levels):
-        if i and not args.smoke:
-            time.sleep(args.cooldown_s)
-        results[lv] = run_level(lv, zpath, job, events_path, args.batches)
-        print(json.dumps({"ev": "level", "level": lv, **results[lv]}),
-              flush=True)
+    if args.standalone:
+        start_cluster()
+    try:
+        for i, lv in enumerate(levels):
+            if i and not args.smoke:
+                time.sleep(args.cooldown_s)
+            results[lv] = run_level(
+                lv, zpath, job, events_path, args.batches,
+                standalone=args.standalone,
+            )
+            print(json.dumps({"ev": "level", "level": lv, **results[lv]}),
+                  flush=True)
+    finally:
+        if args.standalone:
+            stop_cluster()
     post_probe = None if args.smoke else quick_ceiling()
     # The replay over a PRE-MATERIALIZED log is byte-streaming-heavy
     # (scan -> shuffle -> parquet write, little compute per byte), so the
@@ -235,6 +322,10 @@ def main() -> None:
     rec = {
         "metric": "spark-submit --py-files CDC replay at two parallelism "
                   "levels (same materialized log)",
+        "form": (
+            "standalone cluster: 1 vs 4 executor JVMs, 2 cores each"
+            if args.standalone else "local[N] threads"
+        ),
         "events": n,
         "batches": args.batches,
         "levels": {str(k): v for k, v in results.items()},
@@ -259,7 +350,8 @@ def main() -> None:
                 rec["scaling_efficiency_raw"] / membw["membw_ceiling"], 3
             )
     if not args.smoke:
-        out = OUT.replace(".json", f"_b{args.batches}.json")
+        suffix = "_standalone" if args.standalone else ""
+        out = OUT.replace(".json", f"{suffix}_b{args.batches}.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=2)
     print(json.dumps(rec), flush=True)
