@@ -53,6 +53,7 @@ class CdcStreamIngestor:
         transform=None,
         max_delta_depth: int | None = None,
         summaries: list[dict] | None = None,
+        max_refresh_deferrals: int = 5,
     ):
         self.table = table
         self.source_dir = source_dir
@@ -110,7 +111,11 @@ class CdcStreamIngestor:
         # closed elsewhere. Track consecutive deferrals per summary and
         # escalate (kill the stream with the accumulated reasons) once the
         # same spec has deferred ``max_refresh_deferrals`` batches in a row.
-        self.max_refresh_deferrals = 5
+        # In-memory by design: a supervisor auto-restart resets the count,
+        # but each escalation already surfaced loudly, and the batch's DATA
+        # commit precedes the refresh loop, so the replayed batch is fenced
+        # (exactly-once holds) while the refresh retries.
+        self.max_refresh_deferrals = max_refresh_deferrals
         self._refresh_deferrals: dict[int, list[str]] = {}
         self.batches: list[dict[str, Any]] = []
 
