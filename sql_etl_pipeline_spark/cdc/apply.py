@@ -86,8 +86,13 @@ def salted_lww_reduce(
 
 
 def prepare_events(events: DataFrame, normalize: bool = True) -> DataFrame:
-    """Drop delivery-order bookkeeping and normalize the text payload."""
+    """Drop delivery-order bookkeeping and normalize the text payload.
+    Events with a NULL lsn are excluded — they are unorderable, so LWW
+    cannot place them (merge_cdc enforces the same rule; filtering here
+    keeps the lineage stats counting only appliable events)."""
     out = events.drop("pos") if "pos" in events.columns else events
+    if "lsn" in out.columns:
+        out = out.filter(F.col("lsn").isNotNull())
     if normalize and "text" in out.columns:
         out = out.withColumn(
             "text",
@@ -120,6 +125,11 @@ def _reduce_with_stats(
     from ..lakehouse.table import BUCKET_COL, _bucket_expr
 
     prepared = prepare_events(events, normalize=normalize)
+    # null-key events have no merge identity (merge_cdc would exclude them
+    # anyway); filtering BEFORE the reduce keeps the fused lineage stats,
+    # touched-bucket set, and key range counting only appliable events.
+    for k in table.key_cols:
+        prepared = prepared.filter(F.col(k).isNotNull())
     reduced = salted_lww_reduce(
         prepared, table.key_cols, n_salts=n_salts, carry_stats=True
     ).withColumn(

@@ -77,6 +77,15 @@ _NON_DATA_OPS = {"create", "compact", "compact_buckets", "mv_watermark"}
 _FULL_SWAP_OPS = {"refresh_summary"}
 
 
+def _as_events(fresh: DataFrame, vanished: DataFrame, lsn: int) -> DataFrame:
+    """Shape recomputed (U) + vanished (D) groups as one CDC event frame."""
+    ups = fresh.withColumn("op", F.lit("U"))
+    dels = vanished.withColumn("op", F.lit("D"))
+    return ups.unionByName(dels, allowMissingColumns=True).withColumn(
+        "lsn", F.lit(int(lsn)).cast("long")
+    )
+
+
 def refresh_summary_incremental(
     summary: LakeTable,
     spark: SparkSession,
@@ -157,13 +166,6 @@ def refresh_summary_incremental(
         res.update({"mode": "full", "watermark": cur, "wall_s": round(time.time() - t0, 3)})
         return res
 
-    def _as_events(fresh: DataFrame, vanished: DataFrame, lsn: int) -> DataFrame:
-        ups = fresh.withColumn("op", F.lit("U"))
-        dels = vanished.withColumn("op", F.lit("D"))
-        return ups.unionByName(dels, allowMissingColumns=True).withColumn(
-            "lsn", F.lit(int(lsn)).cast("long")
-        )
-
     if wm is None:
         return _full()
 
@@ -216,9 +218,37 @@ def refresh_summary_incremental(
     live = F.coalesce(F.col(DELETED_COL), F.lit(False)) == F.lit(False)
     keys = base.key_cols
     lsn_n = F.coalesce(F.col(LSN_COL), F.lit(-1)).alias("_l")
-    added_raw = base._read_file_entries(spark, added)
-    a_max = added_raw.select(*keys, lsn_n).groupBy(*keys).agg(F.max("_l").alias("_a"))
+    # Both raw frames are consumed twice (per-key max-LSN diff AND the
+    # affected-group semi-joins) — persist them so each changed file is
+    # read from storage once per refresh, not once per consumer. Persists
+    # are registered in ``persisted`` and released in the single finally
+    # below, which also covers failures in the user's derive()/build()
+    # (an un-wrapped failure used to leak one cached frame per deferred
+    # stream refresh).
+    persisted: list[DataFrame] = []
+    added_raw = base._read_file_entries(spark, added).persist()
+    persisted.append(added_raw)
     removed_raw = base._read_file_entries(spark, removed) if removed else None
+    if removed_raw is not None:
+        removed_raw = removed_raw.persist()
+        persisted.append(removed_raw)
+    try:
+        return _incremental_body(
+            spark, summary, base, build, group_cols, ident, stream_id,
+            cur, t0, live, keys, lsn_n, added_raw, removed_raw,
+            added, removed, mor_data_commit, wm, persisted,
+        )
+    finally:
+        for df_ in persisted:
+            df_.unpersist()
+
+
+def _incremental_body(
+    spark, summary, base, build, group_cols, ident, stream_id,
+    cur, t0, live, keys, lsn_n, added_raw, removed_raw,
+    added, removed, mor_data_commit, wm, persisted,
+):
+    a_max = added_raw.select(*keys, lsn_n).groupBy(*keys).agg(F.max("_l").alias("_a"))
     if removed_raw is not None:
         r_max = (
             removed_raw.select(*keys, lsn_n).groupBy(*keys).agg(F.max("_l").alias("_r"))
@@ -231,6 +261,7 @@ def refresh_summary_incremental(
     else:
         changed_keys = a_max.select(*keys)
     changed_keys = changed_keys.persist()
+    persisted.append(changed_keys)
 
     # ---- affected group keys: new + old groups of exactly-changed keys ------
     parts = [
@@ -257,65 +288,68 @@ def refresh_summary_incremental(
     affected = parts[0]
     for p in parts[1:]:
         affected = affected.unionByName(p)
+    # NULL group keys are rejected at the summary boundary (merge_cdc
+    # raises on NULL key columns), so a bootstrap/full build whose
+    # groupBy produces a NULL group fails LOUDLY and the fix belongs in
+    # build()/derive() (coalesce or filter the null-able group source).
+    # Dropping them here is therefore consistent, not silent staleness:
+    # no NULL-group summary row can exist for this drop to strand.
     affected = affected.na.drop(subset=group_cols).distinct().persist()
-    try:
-        # ONE action over the (small, persisted) affected set computes
-        # everything the rest of the refresh needs from it: the empty check,
-        # the leading-group min/max (base-scan file pruning AND the summary
-        # merge's key_range), and — when the summary's bucket columns are
-        # group columns — the touched summary buckets. Passing these into
-        # merge_cdc (with stats and assume_deduped) removes its two
-        # full-plan driver actions and its LWW shuffle: the events frame is
-        # one row per group by construction (fresh ∪ disjoint vanished).
-        aggs = [F.count("*"), F.min(group_cols[0]), F.max(group_cols[0])]
-        buckets_known = set(summary.bucket_cols) <= set(group_cols)
-        sel = affected
-        if buckets_known:
-            sel = affected.withColumn(
-                "_b", _bucket_expr(summary.bucket_cols, summary.num_buckets)
-            )
-            aggs.append(F.collect_set("_b"))
-        row = sel.agg(*aggs).collect()[0]
-        n_affected, glo, ghi = int(row[0]), row[1], row[2]
-        touched = sorted(int(b) for b in row[3]) if buckets_known else None
-        if n_affected == 0:
-            summary._commit(
-                summary.files,
-                summary.schema,
-                {**summary.summary, f"fence:{stream_id}": cur},
-                {"op": "mv_watermark", "rows_written": 0, "buckets": [],
-                 "wall_s": round(time.time() - t0, 3)},
-            )
-            return {"mode": "noop", "reason": "no_affected_groups", "watermark": cur}
+    persisted.append(affected)
+    # ONE action over the (small, persisted) affected set computes
+    # everything the rest of the refresh needs from it: the empty check,
+    # the leading-group min/max (base-scan file pruning AND the summary
+    # merge's key_range), and — when the summary's bucket columns are
+    # group columns — the touched summary buckets. Passing these into
+    # merge_cdc (with stats and assume_deduped) removes its two
+    # full-plan driver actions and its LWW shuffle: the events frame is
+    # one row per group by construction (fresh ∪ disjoint vanished).
+    aggs = [F.count("*"), F.min(group_cols[0]), F.max(group_cols[0])]
+    buckets_known = set(summary.bucket_cols) <= set(group_cols)
+    sel = affected
+    if buckets_known:
+        sel = affected.withColumn(
+            "_b", _bucket_expr(summary.bucket_cols, summary.num_buckets)
+        )
+        aggs.append(F.collect_set("_b"))
+    row = sel.agg(*aggs).collect()[0]
+    n_affected, glo, ghi = int(row[0]), row[1], row[2]
+    touched = sorted(int(b) for b in row[3]) if buckets_known else None
+    if n_affected == 0:
+        summary._commit(
+            summary.files,
+            summary.schema,
+            {**summary.summary, f"fence:{stream_id}": cur},
+            {"op": "mv_watermark", "rows_written": 0, "buckets": [],
+             "wall_s": round(time.time() - t0, 3)},
+        )
+        return {"mode": "noop", "reason": "no_affected_groups", "watermark": cur}
 
-        # ---- recompute only the affected groups ----------------------------
-        ranges = None
-        if group_cols[0] == base.key_cols[0] and glo is not None:
-            ranges = {group_cols[0]: (glo, ghi)}
-        subset = ident(base.read(spark, ranges=ranges)).join(
-            F.broadcast(affected), on=group_cols, how="left_semi"
-        )
-        fresh = build(subset)
-        missing = [c for c in group_cols if c not in fresh.columns]
-        if missing:
-            raise ValueError(f"build() output missing group columns {missing}")
-        vanished = affected.join(
-            fresh.select(*group_cols), on=group_cols, how="left_anti"
-        )
-        # |events| == n_affected exactly: every affected group is either
-        # recomputed (fresh) or vanished — disjoint by the anti-join.
-        res = summary.merge_cdc(
-            spark,
-            _as_events(fresh, vanished, cur),
-            fence=(stream_id, cur),
-            assume_deduped=True,
-            stats=(cur, cur, n_affected),
-            touched=touched,
-            key_range=(glo, ghi),
-        )
-    finally:
-        affected.unpersist()
-        changed_keys.unpersist()
+    # ---- recompute only the affected groups ----------------------------
+    ranges = None
+    if group_cols[0] == base.key_cols[0] and glo is not None:
+        ranges = {group_cols[0]: (glo, ghi)}
+    subset = ident(base.read(spark, ranges=ranges)).join(
+        F.broadcast(affected), on=group_cols, how="left_semi"
+    )
+    fresh = build(subset)
+    missing = [c for c in group_cols if c not in fresh.columns]
+    if missing:
+        raise ValueError(f"build() output missing group columns {missing}")
+    vanished = affected.join(
+        fresh.select(*group_cols), on=group_cols, how="left_anti"
+    )
+    # |events| == n_affected exactly: every affected group is either
+    # recomputed (fresh) or vanished — disjoint by the anti-join.
+    res = summary.merge_cdc(
+        spark,
+        _as_events(fresh, vanished, cur),
+        fence=(stream_id, cur),
+        assume_deduped=True,
+        stats=(cur, cur, n_affected),
+        touched=touched,
+        key_range=(glo, ghi),
+    )
     res.update(
         {
             "mode": "incremental",

@@ -93,6 +93,22 @@ def _stat_value(v):
     return None
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a just-published name survives power loss.
+    Filesystems that do not support directory fds (or sandboxed mounts)
+    degrade to the pre-fsync behavior rather than failing the commit."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _bucket_expr(bucket_cols: list[str], num_buckets: int):
     """Deterministic bucket id for a row; hot keys spread across buckets by
     hashing the full bucket key."""
@@ -116,13 +132,28 @@ class LakeTable:
         bucket_cols: list[str] | None = None,
         num_buckets: int = 16,
         merge_mode: str = "cow",
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the user schema; bookkeeping
         columns (last_lsn, deleted) are appended automatically.
         ``merge_mode``: ``"cow"`` (rewrite-on-merge) or ``"mor"``
-        (append-delta-on-merge, resolve at read — see module docstring)."""
+        (append-delta-on-merge, resolve at read — see module docstring).
+        ``stats_cols``: extra columns to keep per-file min/max manifest
+        stats for (the leading key and LSN are always included) — choose
+        the columns this table gets range-queried by."""
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
+        # Every pruning path (touched-bucket merge scoping, bucket-pruned
+        # reads, compact_buckets) assumes a key's every version lives in
+        # exactly ONE bucket — only key columns are immutable per key, so a
+        # mutable bucket column would scatter a key's versions across
+        # buckets and silently produce duplicate/stale rows.
+        if bucket_cols and not set(bucket_cols) <= set(key_cols):
+            raise ValueError(
+                f"bucket_cols {bucket_cols} must be a subset of key_cols "
+                f"{key_cols}: bucketing on a mutable column breaks the "
+                "one-bucket-per-key invariant every pruning path relies on"
+            )
         os.makedirs(os.path.join(path, META_DIR), exist_ok=False)
         os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
         fields = list(schema.fields)
@@ -145,14 +176,18 @@ class LakeTable:
             },
             "files": [],
             "summary": {},
+            "stats_cols": list(stats_cols) if stats_cols is not None else [],
             "lineage": {"op": "create", "rows_written": 0, "buckets": []},
         }
         tmp = os.path.join(path, META_DIR, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(commit, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         final = os.path.join(path, META_DIR, "v00000001.json")
         os.link(tmp, final)
         os.unlink(tmp)
+        _fsync_dir(os.path.join(path, META_DIR))
         return LakeTable(path)
 
     def _load(self) -> None:
@@ -160,8 +195,25 @@ class LakeTable:
         versions = sorted(f for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json"))
         if not versions:
             raise FileNotFoundError(f"no commits under {meta}")
-        with open(os.path.join(meta, versions[-1])) as fh:
-            self._state = json.load(fh)
+        # Torn-commit recovery: a crash between publishing a commit's name
+        # and its contents reaching stable storage can leave the NEWEST
+        # version file empty/truncated. Quarantine it (rename, so the
+        # version slot is reusable and future os.link publishes don't
+        # collide forever) and fall back to the previous intact commit —
+        # that commit never durably happened, so falling back IS the
+        # correct state, not data loss. Live writers can't produce torn
+        # files (json.dump completes before os.link publishes the name),
+        # so anything torn is a crash artifact and safe to quarantine.
+        while versions:
+            name = versions.pop()
+            p = os.path.join(meta, name)
+            try:
+                with open(p) as fh:
+                    self._state = json.load(fh)
+                return
+            except (json.JSONDecodeError, ValueError):
+                os.replace(p, p + f".corrupt-{uuid.uuid4().hex[:8]}")
+        raise FileNotFoundError(f"no intact commits under {meta}")
 
     def refresh(self) -> "LakeTable":
         self._load()
@@ -246,8 +298,15 @@ class LakeTable:
         if partition is not None:
             nxt["partition"] = partition
         tmp = os.path.join(self.path, META_DIR, f".tmp-{uuid.uuid4().hex}")
+        # flush + fsync BEFORE publishing: os.link makes the name visible
+        # atomically, but without the fsync a power loss could surface the
+        # name with torn/empty contents — the durability boundary the
+        # "atomic commits" claim is about. (_load additionally quarantines
+        # any torn commit file left by a crash mid-publish.)
         with open(tmp, "w") as fh:
             json.dump(nxt, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         final = os.path.join(self.path, META_DIR, f"v{nxt['version']:08d}.json")
         try:
             os.link(tmp, final)
@@ -255,6 +314,7 @@ class LakeTable:
             os.unlink(tmp)
             raise CommitConflict(f"version {nxt['version']} already committed") from exc
         os.unlink(tmp)
+        _fsync_dir(os.path.join(self.path, META_DIR))
         self._state = nxt
 
     # ------------------------------------------------------------------ read
@@ -292,12 +352,29 @@ class LakeTable:
         if buckets is not None:
             want = set(buckets)
             sel = [f for f in sel if f["bucket"] in want]
-        has_delta = any(f.get("kind", "base") == "delta" for f in sel)
-        key_set = set(self.key_cols)
-        prunable = {
-            c: r for c, r in (ranges or {}).items() if not has_delta or c in key_set
+        # Resolution is needed ONLY for buckets that actually hold delta
+        # files: a key's every version lives in one bucket, so delta-free
+        # buckets can be plain-scanned and unioned in — under skewed
+        # streams deltas stack in few hot buckets, and routing every base
+        # byte of every bucket through the groupBy/max_by shuffle would
+        # make read cost O(table) where O(delta-having buckets) suffices.
+        delta_buckets = {
+            f["bucket"] for f in sel if f.get("kind", "base") == "delta"
         }
-        if prunable:
+        resolve_sel = [f for f in sel if f["bucket"] in delta_buckets]
+        plain_sel = [f for f in sel if f["bucket"] not in delta_buckets]
+        has_delta = bool(delta_buckets)
+        key_set = set(self.key_cols)
+
+        def _prune(files: list, allowed: set[str] | None) -> list:
+            prunable = {
+                c: r
+                for c, r in (ranges or {}).items()
+                if allowed is None or c in allowed
+            }
+            if not prunable:
+                return files
+
             def overlaps(f: dict[str, Any]) -> bool:
                 for col, (lo, hi) in prunable.items():
                     st = (f.get("stats") or {}).get(col)
@@ -310,7 +387,14 @@ class LakeTable:
                         return False
                 return True
 
-            sel = [f for f in sel if overlaps(f)]
+            return [f for f in files if overlaps(f)]
+
+        # plain buckets: every range prunes at file level; resolving
+        # buckets: only KEY ranges may prune before resolution (dropping a
+        # file by a non-key range could discard a key's newest version).
+        plain_sel = _prune(plain_sel, None)
+        resolve_sel = _prune(resolve_sel, key_set)
+        sel = plain_sel + resolve_sel
 
         def _residual(df: DataFrame, only: set[str] | None = None) -> DataFrame:
             # residual filter: exactness never depends on stats coverage.
@@ -333,8 +417,8 @@ class LakeTable:
                 df = spark.read.schema(schema).parquet(*paths)
             df = _residual(df)
         else:
-            base = [f for f in sel if f.get("kind", "base") == "base"]
-            delta = [f for f in sel if f.get("kind", "base") == "delta"]
+            base = [f for f in resolve_sel if f.get("kind", "base") == "base"]
+            delta = [f for f in resolve_sel if f.get("kind", "base") == "delta"]
             u = (
                 self._read_file_entries(spark, base)
                 .withColumn("_pri", F.lit(1))
@@ -359,6 +443,12 @@ class LakeTable:
             )
             # non-key filters only AFTER resolution
             df = _residual(df, only=set(ranges or {}) - key_set)
+            if plain_sel:
+                # delta-free buckets ride alongside, fully filtered, never
+                # shuffled through the resolution agg
+                df = df.unionByName(
+                    _residual(self._read_file_entries(spark, plain_sel))
+                )
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not include_meta:
@@ -408,14 +498,21 @@ class LakeTable:
         )
 
     # ----------------------------------------------------------------- write
-    #: columns whose per-file min/max go into the commit manifest (Iceberg-
-    #: style file stats; used by ``read(ranges=...)`` to skip files).
+    #: legacy fallback for tables committed before per-table stats_cols
+    #: existed (their commits carry no "stats_cols" key).
     STATS_COLS = ("conv_id", LSN_COL)
 
     def _stat_cols(self) -> tuple[str, ...]:
-        """Manifest-stat columns: always the leading key column (file-level
-        merge pruning keys on it) plus the class defaults."""
-        return tuple(dict.fromkeys([self.key_cols[0], *self.STATS_COLS]))
+        """Manifest-stat columns (Iceberg-style per-file min/max, used by
+        ``read(ranges=...)`` to skip files): always the leading key column
+        (file-level merge pruning keys on it) and the LSN column (snapshot-
+        diff and tombstone-floor reasoning), plus any per-table columns
+        chosen at ``create(stats_cols=...)`` — e.g. a timestamp a summary
+        table is range-queried by. Tables from older commits fall back to
+        the legacy class default."""
+        stored = self._state.get("stats_cols")
+        extra = tuple(stored) if stored is not None else self.STATS_COLS
+        return tuple(dict.fromkeys([self.key_cols[0], *extra, LSN_COL]))
 
     @staticmethod
     def _file_stats(full_path: str, cols: tuple[str, ...]) -> tuple[dict[str, Any], int]:
@@ -654,6 +751,18 @@ class LakeTable:
         src = events.withColumn(
             DELETED_COL, (F.col(op_col) == F.lit("D"))
         ).withColumn(LSN_COL, F.col(lsn_col).cast("long"))
+        # An event without an LSN (or one whose lsn casts to NULL) is
+        # unorderable: LWW cannot place it, and max_by over a key whose
+        # events are ALL null-LSN would emit an all-NULL winner row that
+        # merges as a phantom record. An event with a NULL key column has
+        # no merge identity at all — and NULL-blind min/max key-range file
+        # pruning would silently DUPLICATE a null-key row on later merges.
+        # Both are excluded here (plain codegen filters, no extra action);
+        # the validation layer (functions.validate null_thresholds /
+        # strict mode) is where such events get counted or abort the batch.
+        src = src.filter(F.col(LSN_COL).isNotNull())
+        for k in keys:
+            src = src.filter(F.col(k).isNotNull())
         # Deletes blank their payload (tombstone keeps only key + LSN).
         src = src.select(
             *[F.col(k) for k in keys],
@@ -874,10 +983,19 @@ class LakeTable:
         t0 = time.time()
         df = self.read(spark, include_deleted=True, include_meta=True)
         if purge_tombstones_below_lsn is not None:
+            # the lsn comparison must coalesce too: for a tombstone with
+            # NULL last_lsn (bulk-appended rows), true & NULL = NULL and
+            # ~NULL filters the row out — i.e. the tombstone would be
+            # purged UNCONDITIONALLY, ignoring the floor, and a later
+            # stale insert could resurrect the key. NULL-lsn rows are
+            # never purged (their position is unknown).
             df = df.filter(
                 ~(
                     F.coalesce(F.col(DELETED_COL), F.lit(False))
-                    & (F.col(LSN_COL) < F.lit(purge_tombstones_below_lsn))
+                    & F.coalesce(
+                        F.col(LSN_COL) < F.lit(purge_tombstones_below_lsn),
+                        F.lit(False),
+                    )
                 )
             )
         nb = num_buckets or self.num_buckets
@@ -950,10 +1068,19 @@ class LakeTable:
             spark, include_deleted=True, include_meta=True, buckets=sorted(want)
         )
         if purge_tombstones_below_lsn is not None:
+            # the lsn comparison must coalesce too: for a tombstone with
+            # NULL last_lsn (bulk-appended rows), true & NULL = NULL and
+            # ~NULL filters the row out — i.e. the tombstone would be
+            # purged UNCONDITIONALLY, ignoring the floor, and a later
+            # stale insert could resurrect the key. NULL-lsn rows are
+            # never purged (their position is unknown).
             df = df.filter(
                 ~(
                     F.coalesce(F.col(DELETED_COL), F.lit(False))
-                    & (F.col(LSN_COL) < F.lit(purge_tombstones_below_lsn))
+                    & F.coalesce(
+                        F.col(LSN_COL) < F.lit(purge_tombstones_below_lsn),
+                        F.lit(False),
+                    )
                 )
             )
         df = df.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))

@@ -223,3 +223,157 @@ def test_concurrent_writers_converge_under_retries(spark, tmp_path):
     want = sorted(tuple(r) for r in expected_final_state(log).collect())
     assert got == want
     log.unpersist()
+
+
+def test_create_rejects_mutable_bucket_cols(tmp_path):
+    """bucket_cols must be a subset of key_cols: a mutable bucket column
+    scatters a key's versions across buckets and every pruning path
+    (touched-bucket merges, bucket reads, compact_buckets) silently
+    duplicates — reject at create()."""
+    schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("status", StringType(), True),
+        ]
+    )
+    with pytest.raises(ValueError, match="subset of key_cols"):
+        LakeTable.create(
+            str(tmp_path / "t"), schema, key_cols=["id"], bucket_cols=["status"]
+        )
+
+
+def test_torn_newest_commit_falls_back_and_quarantines(table, spark, tmp_path):
+    """A crash can publish a commit's NAME whose contents never reached
+    stable storage. Opening the table must quarantine the torn file and
+    fall back to the previous intact commit (that commit never durably
+    happened), not brick every open with JSONDecodeError."""
+    r = table.merge_cdc(spark, _events(spark, [("I", 1, "a", 0, "x")]))
+    assert r["applied"] if "applied" in r else True
+    good_version = table.version
+    # simulate the torn publish: next version name exists, zero bytes
+    torn = os.path.join(table.path, "_meta", f"v{good_version + 1:08d}.json")
+    open(torn, "w").close()
+    t2 = LakeTable(table.path)  # must not raise
+    assert t2.version == good_version
+    assert not os.path.exists(torn), "torn file must be quarantined"
+    assert _state(t2, spark) == {("a", 0): "x"}
+    # the version slot is reusable: the next commit publishes cleanly
+    t2.merge_cdc(spark, _events(spark, [("I", 2, "b", 0, "y")]))
+    assert LakeTable(table.path).version == good_version + 1
+
+
+def test_null_lsn_events_are_excluded_not_phantom_rows(table, spark):
+    """A key whose only event has lsn=NULL must NOT merge as an all-NULL
+    phantom row (max_by over a null ordering key yields a NULL struct);
+    null-LSN events are unorderable and excluded, real events unaffected."""
+    ev = _events(
+        spark,
+        [("I", None, "ghost", 0, "boo"), ("I", 5, "real", 0, "ok")],
+    )
+    table.merge_cdc(spark, ev)
+    assert _state(table, spark) == {("real", 0): "ok"}
+
+
+def test_null_key_events_are_excluded(table, spark):
+    """A NULL key has no merge identity, and NULL-blind key-range file
+    pruning would silently DUPLICATE a merged null-key row on later
+    batches — merge paths exclude such events (the validation layer's
+    null_thresholds / strict mode is where they are surfaced or abort
+    the batch; see test_validate)."""
+    table.merge_cdc(
+        spark, _events(spark, [("I", 1, None, 0, "x"), ("I", 2, "ok", 0, "y")])
+    )
+    assert _state(table, spark) == {("ok", 0): "y"}
+
+
+def test_null_key_events_are_excluded_in_apply_path(table, spark):
+    from sql_etl_pipeline_spark.cdc.apply import apply_batch
+
+    r = apply_batch(
+        table,
+        spark,
+        _events(spark, [("I", 1, None, 0, "x"), ("I", 2, "ok", 0, "y")]),
+        normalize=False,
+    )
+    assert r["applied"]
+    # lineage stats count only appliable events
+    assert r["events"] == 1
+    assert _state(table.refresh(), spark) == {("ok", 0): "y"}
+
+
+def test_null_lsn_tombstone_survives_purge(table, spark):
+    """A tombstone whose last_lsn is NULL (bulk-appended) has an unknown
+    position; purge-below-floor must keep it (3-valued logic used to drop
+    it unconditionally: true & NULL -> NULL -> filtered)."""
+    table.merge_cdc(spark, _events(spark, [("I", 10, "a", 0, "x")]))
+    tomb = spark.createDataFrame(
+        [("z", 0, None, None, True)],
+        "conv_id string, turn_idx int, text string, last_lsn long, deleted boolean",
+    )
+    table.append(spark, tomb)
+    table.compact(spark, purge_tombstones_below_lsn=100)
+    rows = {
+        (r.conv_id, r.turn_idx): (r.deleted, r.last_lsn)
+        for r in table.refresh()
+        .read(spark, include_deleted=True, include_meta=True)
+        .collect()
+    }
+    assert ("z", 0) in rows, "NULL-lsn tombstone must survive the purge"
+    assert rows[("z", 0)][0] is True
+
+
+def test_mor_resolution_scoped_to_delta_buckets(tmp_path, spark):
+    """MOR read must route only delta-HAVING buckets through the LWW
+    resolution shuffle; delta-free buckets plain-scan and union in (under
+    skew, deltas stack in few hot buckets — resolving every bucket would
+    make read cost O(table))."""
+    t = LakeTable.create(
+        str(tmp_path / "m"), SCHEMA, key_cols=["conv_id", "turn_idx"],
+        num_buckets=8, merge_mode="mor",
+    )
+    rows = [("I", i, f"c{i}", 0, f"v{i}") for i in range(40)]
+    t.merge_cdc(spark, _events(spark, rows))
+    t.compact(spark)  # all buckets now base-only
+    # one narrow delta batch: updates a single key -> a single hot bucket
+    t.merge_cdc(spark, _events(spark, [("U", 100, "c3", 0, "NEW")]))
+    deltas = [f for f in t.files if f.get("kind") == "delta"]
+    assert deltas and len({f["bucket"] for f in deltas}) == 1
+    hot = deltas[0]["bucket"]
+    df = t.read(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan, "delta-free buckets must bypass resolution"
+    # correctness: every key LWW-correct, update visible, no dupes/losses
+    state = {(r.conv_id, r.turn_idx): r.text for r in df.collect()}
+    want = {(f"c{i}", 0): ("NEW" if i == 3 else f"v{i}") for i in range(40)}
+    assert state == want
+    # and a bucket-pruned read of a delta-free bucket still works
+    other = next(b for b in range(8) if b != hot)
+    sub = t.read(spark, buckets=[other]).collect()
+    assert all(r.text != "NEW" for r in sub)
+
+
+def test_per_table_stats_cols(tmp_path, spark):
+    """stats_cols chosen at create() appear in the file manifest and prune
+    range reads on that column (a generic table is not stuck with another
+    application's hardcoded stat column)."""
+    schema = StructType(
+        [
+            StructField("day", StringType(), False),
+            StructField("region", StringType(), True),
+            StructField("n", IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        str(tmp_path / "s"), schema, key_cols=["day"], num_buckets=2,
+        stats_cols=["region"],
+    )
+    df = spark.createDataFrame(
+        [(f"d{i}", f"r{i % 4}", i) for i in range(20)],
+        "day string, region string, n int",
+    )
+    t.append(spark, df)
+    stats = [f.get("stats") or {} for f in t.files]
+    # last_lsn is all-NULL on a plain append, so no stat is recorded for it
+    assert all("region" in s and "day" in s for s in stats)
+    got = {r.day for r in t.read(spark, ranges={"region": ("r1", "r1")}).collect()}
+    assert got == {f"d{i}" for i in range(20) if i % 4 == 1}
