@@ -122,7 +122,7 @@ def _reduce_with_stats(
     table's static layout (keys/buckets), never its snapshot — so it can
     run concurrently with an earlier batch's merge
     (see ``apply_batches_pipelined``)."""
-    from ..lakehouse.table import BUCKET_COL, _bucket_expr
+    from ..lakehouse.table import BUCKET_COL
 
     prepared = prepare_events(events, normalize=normalize)
     # null-key events have no merge identity (merge_cdc would exclude them
@@ -133,7 +133,7 @@ def _reduce_with_stats(
     reduced = salted_lww_reduce(
         prepared, table.key_cols, n_salts=n_salts, carry_stats=True
     ).withColumn(
-        BUCKET_COL, _bucket_expr(table.bucket_cols, table.num_buckets)
+        BUCKET_COL, table._bucket_id()
     ).persist()
     prune_key = table.key_cols[0]
     rows = (

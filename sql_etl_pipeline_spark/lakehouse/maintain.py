@@ -25,7 +25,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .table import BUCKET_COL, DELETED_COL, LSN_COL, LakeTable, _bucket_expr
+from .table import BUCKET_COL, DELETED_COL, LSN_COL, LakeTable
 
 
 def refresh_summary(
@@ -46,7 +46,7 @@ def refresh_summary(
         if f.name not in result.columns:
             out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
     out = out.select([f.name for f in schema.fields]).withColumn(
-        BUCKET_COL, _bucket_expr(summary.bucket_cols, summary.num_buckets)
+        BUCKET_COL, summary._bucket_id()
     )
     new_files = summary._write_buckets(out, summary.num_buckets)
     summary._commit(
@@ -309,7 +309,7 @@ def _incremental_body(
     sel = affected
     if buckets_known:
         sel = affected.withColumn(
-            "_b", _bucket_expr(summary.bucket_cols, summary.num_buckets)
+            "_b", summary._bucket_id()
         )
         aggs.append(F.collect_set("_b"))
     row = sel.agg(*aggs).collect()[0]

@@ -12,7 +12,12 @@ lake scale:
   This is the same optimistic-concurrency protocol Iceberg/Delta use against
   an atomic-rename store.
 * **Hash-bucket partitioning + file-scoped merges**: data files are grouped
-  by ``pmod(xxhash64(bucket_cols), num_buckets)``. A CDC merge reads and
+  by ``pmod(hash(bucket_cols), num_buckets)`` (murmur3 — deliberately the
+  SAME function Spark's ``repartition(n, cols)`` uses for partition ids, so
+  a COW merge's single explicit repartition is simultaneously the
+  resolution agg's required distribution AND the write layout; see
+  ``_bucket_expr``/``merge_cdc``; pre-round-4 tables recorded xxhash64 and
+  keep it). A CDC merge reads and
   rewrites only the files whose manifest key-range intersects the batch,
   within only the buckets the batch touches — explicit partition AND file
   pruning, the scale replacement for the reference's B-tree indexes
@@ -109,10 +114,25 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
-def _bucket_expr(bucket_cols: list[str], num_buckets: int):
+def _bucket_expr(bucket_cols: list[str], num_buckets: int, fn: str = "xxhash64"):
     """Deterministic bucket id for a row; hot keys spread across buckets by
-    hashing the full bucket key."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(num_buckets)).cast("int")
+    hashing the full bucket key.
+
+    ``fn="murmur3"`` (the default for tables created since round 4) makes
+    the bucket id EQUAL Spark's own ``HashPartitioning`` partition-id
+    function for ``repartition(num_buckets, *bucket_cols)`` —
+    ``pmod(murmur3(cols, seed=42), n)`` — which is what lets the COW merge
+    land its single explicit repartition in bucket-task alignment and skip
+    the write-side shuffle entirely (see ``merge_cdc`` step 3). Verified
+    row-exact against ``spark_partition_id()`` in
+    ``tests/test_plans.py``. ``fn="xxhash64"`` is the pre-round-4 layout,
+    kept so existing tables keep resolving their files to the right
+    buckets; the fn is recorded in the partition spec and preserved across
+    bucket-count evolution."""
+    cols = [F.col(c) for c in bucket_cols]
+    if fn == "murmur3":
+        return F.pmod(F.hash(*cols), F.lit(num_buckets)).cast("int")
+    return F.pmod(F.xxhash64(*cols), F.lit(num_buckets)).cast("int")
 
 
 class LakeTable:
@@ -133,6 +153,7 @@ class LakeTable:
         num_buckets: int = 16,
         merge_mode: str = "cow",
         stats_cols: list[str] | None = None,
+        target_file_rows: int | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the user schema; bookkeeping
         columns (last_lsn, deleted) are appended automatically.
@@ -140,7 +161,9 @@ class LakeTable:
         (append-delta-on-merge, resolve at read — see module docstring).
         ``stats_cols``: extra columns to keep per-file min/max manifest
         stats for (the leading key and LSN are always included) — choose
-        the columns this table gets range-queried by."""
+        the columns this table gets range-queried by.
+        ``target_file_rows``: durable per-file row target honored by COW
+        merges and compactions (see the ``target_file_rows`` property)."""
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         # Every pruning path (touched-bucket merge scoping, bucket-pruned
@@ -173,10 +196,14 @@ class LakeTable:
             "partition": {
                 "bucket_cols": bucket_cols or [key_cols[0]],
                 "num_buckets": num_buckets,
+                # murmur3 == Spark's HashPartitioning id function, enabling
+                # the aligned single-shuffle COW merge (_bucket_expr doc)
+                "bucket_fn": "murmur3",
             },
             "files": [],
             "summary": {},
             "stats_cols": list(stats_cols) if stats_cols is not None else [],
+            "target_file_rows": int(target_file_rows) if target_file_rows else None,
             "lineage": {"op": "create", "rows_written": 0, "buckets": []},
         }
         tmp = os.path.join(path, META_DIR, f".tmp-{uuid.uuid4().hex}")
@@ -266,6 +293,17 @@ class LakeTable:
         return self._state["partition"]["num_buckets"]
 
     @property
+    def bucket_fn(self) -> str:
+        # absent on pre-round-4 tables -> the original xxhash64 layout
+        return self._state["partition"].get("bucket_fn", "xxhash64")
+
+    def _bucket_id(self, num_buckets: int | None = None):
+        """This table's bucket-id expression under its recorded hash fn."""
+        return _bucket_expr(
+            self.bucket_cols, num_buckets or self.num_buckets, self.bucket_fn
+        )
+
+    @property
     def merge_mode(self) -> str:
         return self._state.get("merge_mode", "cow")
 
@@ -277,6 +315,19 @@ class LakeTable:
     def files(self) -> list[dict[str, Any]]:
         return list(self._state["files"])
 
+    @property
+    def target_file_rows(self) -> int | None:
+        """Durable per-file row target (the local stand-in for ~128 MB at
+        cluster scale). When set, COW merges keep it: rewritten buckets are
+        written key-sorted and split at this size instead of collapsing to
+        one file per bucket, so the file-scoped rewrite fraction stays
+        ~window_frac + 1/F BETWEEN compactions too (scale_proof phase B
+        showed merges otherwise coarsen granularity until the next sorted
+        compaction). Set at create() or recorded by compact(...,
+        sort_within_buckets=True, target_file_rows=N)."""
+        v = self._state.get("target_file_rows")
+        return int(v) if v else None
+
     def _commit(
         self,
         files: list[dict[str, Any]],
@@ -284,12 +335,17 @@ class LakeTable:
         summary: dict[str, Any],
         lineage: dict[str, Any],
         partition: dict[str, Any] | None = None,
+        extra_state: dict[str, Any] | None = None,
     ) -> None:
         """Publish the next snapshot atomically (optimistic concurrency).
         ``partition`` replaces the partition spec in the same commit —
         only valid when ``files`` was written entirely under the new spec
-        (bucket-count evolution happens through ``compact``)."""
+        (bucket-count evolution happens through ``compact``).
+        ``extra_state`` merges additional durable table properties (e.g.
+        ``target_file_rows``) into the same atomic commit."""
         nxt = dict(self._state)
+        if extra_state:
+            nxt.update(extra_state)
         nxt["version"] = self.version + 1
         nxt["schema"] = schema.jsonValue()
         nxt["files"] = files
@@ -553,6 +609,7 @@ class LakeTable:
         kind: str = "base",
         sort_cols: list[str] | None = None,
         max_records_per_file: int | None = None,
+        already_partitioned: bool = False,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (which carries BUCKET_COL) partitioned by bucket under
         a fresh write id; return file entries with footer min/max stats and
@@ -570,7 +627,14 @@ class LakeTable:
         # together they produce several files per bucket with DISJOINT key
         # ranges, which is what makes the manifest min/max file pruning in
         # ``merge_cdc``/``read(ranges=...)`` actually selective.
-        out = df.repartition(max(n_buckets_touched, 1), F.col(BUCKET_COL))
+        # ``already_partitioned``: the caller's plan already ends in a
+        # bucket-aligned exchange (merge_cdc's single repartition on a
+        # murmur3 table) — repartitioning again here would re-shuffle the
+        # entire result for nothing, so trust the incoming task layout.
+        if already_partitioned:
+            out = df
+        else:
+            out = df.repartition(max(n_buckets_touched, 1), F.col(BUCKET_COL))
         if sort_cols:
             # Lead with BUCKET_COL: ``partitionBy`` requires task rows
             # ordered by the partition column, and if they are not, Spark
@@ -632,7 +696,7 @@ class LakeTable:
             if f.name not in df.columns:
                 out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
         out = out.select([f.name for f in schema.fields])
-        out = out.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
+        out = out.withColumn(BUCKET_COL, self._bucket_id())
         new_files = self._write_buckets(out, self.num_buckets)
         self._commit(
             self.files + new_files,
@@ -784,7 +848,7 @@ class LakeTable:
         # --- 2. explicit partition + file pruning: which buckets does this
         # batch touch, and which files inside them can its key range reach?
         # (cheap: one agg over the batch when not fused by the caller) ------
-        src = src.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
+        src = src.withColumn(BUCKET_COL, self._bucket_id())
         prune_key = self.key_cols[0]
         if touched is None:
             row = src.agg(
@@ -887,13 +951,32 @@ class LakeTable:
         else:
             rewrite = in_touched
         target = self._read_file_entries(spark, rewrite).withColumn(
-            BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets)
+            BUCKET_COL, self._bucket_id()
         )
 
         # --- 3. LSN-guarded resolution: union + max_by((lsn, pri)) ---------
         # pri: target=1, source=0 -> on equal LSN the already-applied target
         # row wins, making exact replays byte-stable no-ops.
+        #
+        # Shuffle plan (the scale-critical choice): on murmur3-bucketed
+        # tables the ONE explicit repartition below is the merge's ONLY
+        # exchange. Its partitioning (hash(bucket_cols) pmod num_buckets)
+        # simultaneously (a) satisfies the resolution agg's required
+        # ClusteredDistribution(keys) — bucket_cols is a subset of keys,
+        # enforced at create — so Catalyst inserts no second exchange, and
+        # (b) equals the bucket id itself (_bucket_expr fn="murmur3"), so
+        # every bucket lands wholly in exactly one task and the bucketed
+        # write needs no repartition either. Net: target+source payload
+        # bytes cross the wire ONCE instead of twice (resolution exchange
+        # + write repartition), which is the dominant inter-executor
+        # traffic of a COW merge on a real cluster. Pre-round-4 xxhash64
+        # tables keep the original two-exchange plan.
         combined = _shape(target, 1).unionByName(_shape(src, 0))
+        aligned = self.bucket_fn == "murmur3"
+        if aligned:
+            combined = combined.repartition(
+                self.num_buckets, *[F.col(c) for c in self.bucket_cols]
+            )
         pack2 = F.struct(*[F.col(c) for c in combined.columns if c != "_pri"])
         merged = (
             combined.groupBy(*keys)
@@ -906,7 +989,21 @@ class LakeTable:
         )
 
         # --- 4. rewrite only the overlapping files, swap atomically --------
-        new_files = self._write_buckets(merged, len(touched))
+        # With a recorded target_file_rows the rewrite keeps the table's
+        # file granularity instead of collapsing each touched bucket to one
+        # file: key-sorted within the (aligned, one-bucket) task + split at
+        # the target. No extra shuffle either way; the sort rides inside
+        # the write stage (Iceberg's sorted-write compaction, applied at
+        # merge time so rewrite fractions stay ~window+1/F between
+        # compactions — scale_proof phase B).
+        tfr = self.target_file_rows
+        new_files = self._write_buckets(
+            merged,
+            len(touched),
+            sort_cols=self.key_cols if tfr else None,
+            max_records_per_file=tfr,
+            already_partitioned=aligned,
+        )
         lo, hi, n_events = _resolve_stats(stats)
         doomed = {f["path"] for f in rewrite}
         keep = [f for f in self.files if f["path"] not in doomed]
@@ -999,7 +1096,7 @@ class LakeTable:
                 )
             )
         nb = num_buckets or self.num_buckets
-        df = df.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, nb))
+        df = df.withColumn(BUCKET_COL, self._bucket_id(nb))
         new_files = self._write_buckets(
             df,
             nb,
@@ -1008,10 +1105,15 @@ class LakeTable:
         )
         partition = None
         if num_buckets is not None and num_buckets != self.num_buckets:
-            partition = {"bucket_cols": self.bucket_cols, "num_buckets": nb}
+            partition = {"bucket_cols": self.bucket_cols, "num_buckets": nb, "bucket_fn": self.bucket_fn}
         summary = self.summary
         summary["merges_since_compact"] = 0  # cadence counter resets here
         summary["delta_depth_max"] = 0  # all deltas folded into base
+        extra = None
+        if target_file_rows and sort_within_buckets:
+            # a sorted+split compaction establishes the table's file
+            # granularity — record it so later COW merges preserve it
+            extra = {"target_file_rows": int(target_file_rows)}
         self._commit(
             new_files,
             self.schema,
@@ -1024,6 +1126,7 @@ class LakeTable:
                 "wall_s": round(time.time() - t0, 3),
             },
             partition=partition,
+            extra_state=extra,
         )
         return {"files": len(new_files), "num_buckets": nb}
 
@@ -1083,7 +1186,7 @@ class LakeTable:
                     )
                 )
             )
-        df = df.withColumn(BUCKET_COL, _bucket_expr(self.bucket_cols, self.num_buckets))
+        df = df.withColumn(BUCKET_COL, self._bucket_id())
         new_files = self._write_buckets(
             df,
             len(want),  # one shuffle partition per compacted bucket

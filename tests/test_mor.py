@@ -167,10 +167,8 @@ def test_mor_bucket_and_range_pruned_reads(spark, tmp_path, log):
     assert got2 == want2
     # bucket pruning returns exactly the buckets' keys
     b0 = mor.read(spark, buckets=[0, 1])
-    from sql_etl_pipeline_spark.lakehouse.table import _bucket_expr
-
     want3 = full.withColumn(
-        "_b", _bucket_expr(mor.bucket_cols, mor.num_buckets)
+        "_b", mor._bucket_id()
     ).filter(F.col("_b").isin([0, 1])).count()
     assert b0.count() == want3
 

@@ -248,3 +248,160 @@ def test_split_compaction_files_disjoint_within_every_bucket(spark, tmp_path):
                 f"bucket {b}: overlapping file ranges ({lo1},{hi1}) vs "
                 f"({lo2},{hi2}) — non-stable partition write sort?"
             )
+
+
+def test_murmur3_bucket_id_equals_spark_partition_id(spark):
+    """The aligned single-shuffle merge rests on one identity: the table's
+    bucket expression (fn="murmur3") must equal Spark's HashPartitioning
+    partition-id function for repartition(B, *bucket_cols). If Spark ever
+    changed its hash/seed/pmod, merges would silently write rows into the
+    wrong bucket directories — this locks the identity row-exactly."""
+    from sql_etl_pipeline_spark.lakehouse.table import _bucket_expr
+
+    df = spark.range(0, 20000).select(
+        F.concat(F.lit("conv-"), F.col("id").cast("string")).alias("conv_id"),
+        (F.col("id") % 7).cast("int").alias("turn_idx"),
+    )
+    for cols, b in ((["conv_id"], 16), (["conv_id", "turn_idx"], 32)):
+        r = (
+            df.repartition(b, *[F.col(c) for c in cols])
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn("bid", _bucket_expr(cols, b, "murmur3"))
+        )
+        assert r.filter(F.col("pid") != F.col("bid")).count() == 0
+
+
+def test_cow_merge_plan_has_single_exchange_and_one_file_per_bucket(spark, tmp_path):
+    """The round-4 shuffle-halving: on a murmur3-bucketed table the COW
+    merge's resolution + bucketed write share ONE explicit repartition —
+    the repartition satisfies the agg's ClusteredDistribution (bucket_cols
+    is a subset of keys) so no agg exchange appears, and its partition ids
+    equal the bucket ids so the write skips its repartition. Asserted two
+    ways: the mirror plan carries exactly one Exchange, and an actual merge
+    writes exactly one file per touched bucket (multi-task buckets would
+    fan out to several)."""
+    from sql_etl_pipeline_spark.cdc import TRANSCRIPT_SCHEMA, generate_change_events
+    from sql_etl_pipeline_spark.cdc.apply import apply_batch
+    from sql_etl_pipeline_spark.lakehouse import LakeTable
+    from sql_etl_pipeline_spark.lakehouse.table import BUCKET_COL, LSN_COL, _bucket_expr
+
+    nb = 8
+    ev = generate_change_events(spark, 6000, n_convs=300).withColumn(
+        BUCKET_COL, _bucket_expr(["conv_id"], nb, "murmur3")
+    ).withColumn(LSN_COL, F.col("lsn")).withColumn("_pri", F.lit(0))
+    # mirror of merge_cdc step 3 on a murmur3 table
+    combined = ev.repartition(nb, F.col("conv_id"))
+    pack = F.struct(*[F.col(c) for c in combined.columns if c != "_pri"])
+    merged = (
+        combined.groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(pack, F.struct(F.col(LSN_COL), F.col("_pri"))).alias("_w"))
+        .select("_w.*")
+    )
+    assert plan(merged).count("Exchange") == 1
+
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=nb,
+    )
+    assert t.bucket_fn == "murmur3"
+    res = apply_batch(t, spark, generate_change_events(spark, 6000, n_convs=300),
+                      fence=("s", 0))
+    assert res["applied"]
+    from collections import Counter
+
+    per_bucket = Counter(f["bucket"] for f in t.files)
+    assert max(per_bucket.values()) == 1, per_bucket
+
+
+def test_xxhash64_table_back_compat_merge(spark, tmp_path):
+    """A table whose partition spec predates bucket_fn (round <=3 layout)
+    must keep resolving rows to xxhash64 buckets and merge through the
+    original two-exchange path — otherwise existing files would be pruned
+    against the wrong bucket ids and stale versions survive merges."""
+    import json
+    import os as _os
+
+    from sql_etl_pipeline_spark.cdc import TRANSCRIPT_SCHEMA, generate_change_events
+    from sql_etl_pipeline_spark.cdc.apply import apply_batch
+    from sql_etl_pipeline_spark.lakehouse import LakeTable
+
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+    v1 = _os.path.join(t.path, "_meta", "v00000001.json")
+    with open(v1) as fh:
+        c = json.load(fh)
+    del c["partition"]["bucket_fn"]
+    with open(v1, "w") as fh:
+        json.dump(c, fh)
+    t = LakeTable(t.path)
+    assert t.bucket_fn == "xxhash64"
+    ev = generate_change_events(spark, 4000, n_convs=200, delete_frac=0.01)
+    apply_batch(t, spark, ev.filter(F.col("lsn") % 2 == 0), fence=("s", 1))
+    apply_batch(t, spark, ev.filter(F.col("lsn") % 2 == 1), fence=("s", 2))
+    # LWW oracle in plain Spark
+    from sql_etl_pipeline_spark.cdc.apply import prepare_events
+
+    pe = prepare_events(ev)
+    pack = F.struct(*[F.col(c) for c in pe.columns])
+    want = (
+        pe.groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(pack, F.col("lsn")).alias("w"))
+        .select("w.*")
+        .filter(F.col("op") != "D")
+    )
+    got = t.read(spark)
+    assert got.count() == want.count()
+    assert (
+        want.select("conv_id", "turn_idx", "text")
+        .exceptAll(got.select("conv_id", "turn_idx", "text"))
+        .count()
+        == 0
+    )
+
+
+def test_merge_preserves_recorded_file_granularity(spark, tmp_path):
+    """With target_file_rows recorded (at create or by a sorted+split
+    compaction), a COW merge must NOT collapse a touched bucket back to a
+    single file: rewritten buckets come out key-sorted, split at the
+    target, with disjoint per-file key ranges — so the file-scoped rewrite
+    fraction stays bounded BETWEEN compactions, not only right after one."""
+    from sql_etl_pipeline_spark.cdc import TRANSCRIPT_SCHEMA, generate_change_events
+    from sql_etl_pipeline_spark.cdc.apply import apply_batch
+    from sql_etl_pipeline_spark.lakehouse import LakeTable
+
+    t = LakeTable.create(
+        str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4,
+        target_file_rows=150,
+    )
+    assert t.target_file_rows == 150
+    apply_batch(
+        t, spark, generate_change_events(spark, 12000, n_convs=600), fence=("s", 0)
+    )
+    by_bucket: dict[int, list] = {}
+    for f in t.files:
+        st = (f.get("stats") or {}).get("conv_id")
+        assert st is not None
+        by_bucket.setdefault(f["bucket"], []).append((st["min"], st["max"]))
+    assert all(len(v) > 1 for v in by_bucket.values()), (
+        f"merge collapsed buckets to single files: "
+        f"{ {b: len(v) for b, v in by_bucket.items()} }"
+    )
+    for b, ranges in by_bucket.items():
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"bucket {b}: overlapping merge-written files"
+
+    # and a sorted+split compaction RECORDS the granularity durably
+    t2 = LakeTable.create(
+        str(tmp_path / "t2"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    assert t2.target_file_rows is None
+    apply_batch(
+        t2, spark, generate_change_events(spark, 6000, n_convs=300), fence=("s", 0)
+    )
+    t2.compact(spark, sort_within_buckets=True, target_file_rows=200)
+    assert LakeTable(t2.path).target_file_rows == 200

@@ -164,7 +164,7 @@ def test_rebucket_compaction_partition_evolution(spark, tmp_path):
 
     full = table.read(spark)
     want = (
-        full.withColumn("_b", _bucket_expr(table.bucket_cols, 8))
+        full.withColumn("_b", _bucket_expr(table.bucket_cols, 8, table.bucket_fn))
         .filter(F.col("_b").isin([0, 3, 5]))
         .count()
     )
@@ -272,10 +272,7 @@ def test_vacuum_never_reclaims_live_or_inflight_files(spark, tmp_path):
     import os
     import time as _t
 
-    from sql_etl_pipeline_spark.lakehouse.table import (
-        BUCKET_COL,
-        _bucket_expr,
-    )
+    from sql_etl_pipeline_spark.lakehouse.table import BUCKET_COL
 
     ev = generate_change_events(spark, 800, n_convs=20, delete_frac=0.0)
     table = LakeTable.create(
@@ -298,7 +295,7 @@ def test_vacuum_never_reclaims_live_or_inflight_files(spark, tmp_path):
 
     # (a) in-flight writer: files on disk, commit not yet published
     rows = table.read(spark).limit(50).withColumn(
-        BUCKET_COL, _bucket_expr(table.bucket_cols, table.num_buckets)
+        BUCKET_COL, table._bucket_id()
     )
     inflight = table._write_buckets(rows, table.num_buckets)
     inflight_paths = [os.path.join(table.path, f["path"]) for f in inflight]

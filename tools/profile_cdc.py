@@ -71,7 +71,7 @@ def main() -> None:
             prepared = prepare_events(batch, normalize=True)
             reduced = (
                 salted_lww_reduce(prepared, table.key_cols, carry_stats=True)
-                .withColumn(BUCKET_COL, _bucket_expr(table.bucket_cols, table.num_buckets))
+                .withColumn(BUCKET_COL, table._bucket_id())
                 .persist()
             )
             st = reduced.agg(
@@ -124,7 +124,7 @@ def main() -> None:
 
             rewrite = [f for f in in_touched if _hit(f)] if klo is not None else in_touched
             target = table._read_file_entries(spark, rewrite).withColumn(
-                BUCKET_COL, _bucket_expr(table.bucket_cols, table.num_buckets)
+                BUCKET_COL, table._bucket_id()
             )
 
             def _shape(df, pri):
