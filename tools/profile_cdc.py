@@ -138,6 +138,13 @@ def main() -> None:
                 return df.select(*cols, F.col(BUCKET_COL), F.lit(pri).alias("_pri"))
 
             combined = _shape(target, 1).unionByName(_shape(s2, 0))
+            # round 4: mirror the aligned single-exchange plan — ONE
+            # repartition serves the resolution agg's distribution AND the
+            # bucketed write (merge_cdc step 3); no write-side repartition.
+            if table.bucket_fn == "murmur3":
+                combined = combined.repartition(
+                    table.num_buckets, *[F.col(c) for c in table.bucket_cols]
+                )
             pack2 = F.struct(*[F.col(c) for c in combined.columns if c != "_pri"])
             merged = (
                 combined.groupBy(*keys)
@@ -151,9 +158,11 @@ def main() -> None:
 
             write_id = f"w-{uuid.uuid4().hex[:12]}"
             out_dir = os.path.join(table.path, "data", write_id)
+            out = merged
+            if table.bucket_fn != "murmur3":
+                out = merged.repartition(max(len(touched), 1), F.col(BUCKET_COL))
             (
-                merged.repartition(max(len(touched), 1), F.col(BUCKET_COL))
-                .write.partitionBy(BUCKET_COL)
+                out.write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(out_dir)
             )
