@@ -109,22 +109,32 @@ def _reduce_with_stats(
     normalize: bool = True,
     n_salts: int = 1,
 ) -> tuple[DataFrame, tuple, list[int], tuple, dict]:
-    """Run the batch's table-independent half: normalize -> LWW reduce ->
-    persist, plus ONE driver action serving lineage stats, touched-bucket
-    discovery AND key-range discovery. The action is a groupBy over the
-    batch's bucket ids (<= num_buckets tiny rows on the already-persisted
-    reduce), so the same pass also yields PER-BUCKET applied LSN ranges and
-    row counts — the per-partition lineage the checkpoint/offsets table
-    records (north-star: replay audits need to know which LSNs each
-    partition has applied, not just the batch's global range). Returns
+    """Run the batch's table-independent half: LWW reduce -> normalize
+    WINNERS -> persist, plus ONE driver action serving lineage stats,
+    touched-bucket discovery AND key-range discovery. The action is a
+    groupBy over the batch's bucket ids (<= num_buckets tiny rows on the
+    already-persisted reduce), so the same pass also yields PER-BUCKET
+    applied LSN ranges and row counts — the per-partition lineage the
+    checkpoint/offsets table records (north-star: replay audits need to
+    know which LSNs each partition has applied, not just the batch's
+    global range). Returns
     ``(reduced_persisted, stats, touched, key_range, bucket_ranges)``;
     caller owns the unpersist. Depends only on the log slice and the
     table's static layout (keys/buckets), never its snapshot — so it can
     run concurrently with an earlier batch's merge
-    (see ``apply_batches_pipelined``)."""
+    (see ``apply_batches_pipelined``).
+
+    Normalization runs AFTER the reduce (round 4): the LWW winner is
+    chosen by LSN alone, so normalize(pick(events)) == pick(normalize(
+    events)) row-for-row — but the post-reduce form runs the regex
+    pipeline over only the winners, a ~dedup-factor (updates-per-key,
+    ~8x on the transcript workloads) cut in the batch's dominant CPU
+    term. The tests' independent oracle (``expected_final_state``) keeps
+    the normalize-first order, so replay-equality tests prove the
+    commutation rather than assume it."""
     from ..lakehouse.table import BUCKET_COL
 
-    prepared = prepare_events(events, normalize=normalize)
+    prepared = prepare_events(events, normalize=False)
     # null-key events have no merge identity (merge_cdc would exclude them
     # anyway); filtering BEFORE the reduce keeps the fused lineage stats,
     # touched-bucket set, and key range counting only appliable events.
@@ -132,7 +142,17 @@ def _reduce_with_stats(
         prepared = prepared.filter(F.col(k).isNotNull())
     reduced = salted_lww_reduce(
         prepared, table.key_cols, n_salts=n_salts, carry_stats=True
-    ).withColumn(
+    )
+    if normalize and "text" in reduced.columns:
+        # same guard prepare_events applies: tombstone text is never
+        # normalized (deletes blank their payload downstream anyway)
+        reduced = reduced.withColumn(
+            "text",
+            F.when(F.col("op") == "D", F.col("text")).otherwise(
+                normalize_text_expr("text")
+            ),
+        )
+    reduced = reduced.withColumn(
         BUCKET_COL, table._bucket_id()
     ).persist()
     prune_key = table.key_cols[0]
