@@ -259,6 +259,14 @@ def main() -> None:
     ap.add_argument("--deadline-min", type=float, default=120)
     ap.add_argument("--poll-s", type=int, default=240)
     ap.add_argument("--cooldown-s", type=int, default=45)
+    ap.add_argument("--trials", type=int, default=1,
+                    help="interleaved trials per level (lo,hi,lo,hi,...), "
+                    "best-of per level — the same credit-throttle defense "
+                    "the local-mode scaling protocol uses: a sequential "
+                    "lo-then-hi single pass burns ~2.5 min of max-CPU at "
+                    "lo and hands hi a drained burst budget (measured: an "
+                    "0.932-gated window collapsed to membw ceiling 0.581 "
+                    "by the time hi ran, raw 0.317)")
     ap.add_argument("--smoke", action="store_true",
                     help="500k events, no gate, no cooldown")
     ap.add_argument("--standalone", action="store_true",
@@ -296,22 +304,37 @@ def main() -> None:
                 return
             time.sleep(args.poll_s)
 
-    results = {}
+    trials: dict[int, list] = {lv: [] for lv in levels}
     if args.standalone:
         start_cluster()
     try:
-        for i, lv in enumerate(levels):
-            if i and not args.smoke:
-                time.sleep(args.cooldown_s)
-            results[lv] = run_level(
-                lv, zpath, job, events_path, args.batches,
-                standalone=args.standalone,
-            )
-            print(json.dumps({"ev": "level", "level": lv, **results[lv]}),
-                  flush=True)
+        first = True
+        for t in range(max(args.trials, 1)):
+            for lv in levels:
+                if not first and not args.smoke:
+                    time.sleep(args.cooldown_s)
+                first = False
+                r = run_level(
+                    lv, zpath, job, events_path, args.batches,
+                    standalone=args.standalone,
+                )
+                trials[lv].append(r)
+                print(json.dumps({"ev": "level", "trial": t, "level": lv,
+                                  **r}), flush=True)
     finally:
         if args.standalone:
             stop_cluster()
+    # best-of per level; every trial stays in the record
+    results = {
+        lv: max(rs, key=lambda r: r["events_per_sec"])
+        for lv, rs in trials.items()
+    }
+    for lv in levels:
+        results[lv] = dict(
+            results[lv],
+            trials_events_per_sec=[r["events_per_sec"] for r in trials[lv]],
+            trials_wall_s=[r["wall_s"] for r in trials[lv]],
+        )
     post_probe = None if args.smoke else quick_ceiling()
     # The replay over a PRE-MATERIALIZED log is byte-streaming-heavy
     # (scan -> shuffle -> parquet write, little compute per byte), so the
