@@ -206,17 +206,22 @@ def stop_cluster() -> None:
 
 
 def run_level(level: int, zpath: str, job: str, events_path: str,
-              batches: int, standalone: bool = False) -> dict:
+              batches: int, standalone: bool = False,
+              exec_cores: int = 2, exec_mem: str = "6g") -> dict:
     table = os.path.join(WORK, f"table-l{level}")
     shutil.rmtree(table, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(level))
     if standalone:
-        # N vs 4N EXECUTORS (2 cores each): level is total cores, so
-        # level=2 -> 1 executor, level=8 -> 4 executors, each its own JVM.
+        # N vs 4N EXECUTORS: level is total cores, so with the default
+        # --executor-cores 2 that is 1 vs 4 executor JVMs; with
+        # --executor-cores 1 it is 2 vs 8 — the latter makes BOTH legs
+        # pay cross-JVM shuffle (1 executor keeps every shuffle block
+        # process-local, a single-box subsidy the lo leg doesn't get on
+        # a real cluster).
         master_args = [
             "--master", STANDALONE_MASTER,
-            "--executor-cores", "2",
-            "--executor-memory", "6g",
+            "--executor-cores", str(exec_cores),
+            "--executor-memory", exec_mem,
             "--total-executor-cores", str(level),
         ]
     else:
@@ -241,7 +246,7 @@ def run_level(level: int, zpath: str, job: str, events_path: str,
     shutil.rmtree(table, ignore_errors=True)
     rec = json.loads(line[len("SUBMIT_RESULT "):])
     if standalone:
-        want = level // 2
+        want = level // exec_cores
         got = rec["executors_incl_driver"] - 1
         if got != want:
             raise RuntimeError(
@@ -271,12 +276,27 @@ def main() -> None:
                     help="500k events, no gate, no cooldown")
     ap.add_argument("--standalone", action="store_true",
                     help="boot a real standalone cluster and compare "
-                    "1 vs 4 executors (2 cores each) instead of local[N]")
+                    "N vs 4N executors instead of local[N]")
+    ap.add_argument("--executor-cores", type=int, default=2,
+                    help="standalone cores per executor JVM: 2 -> 1 vs 4 "
+                    "executors at levels (2,8); 1 -> 2 vs 8 executors "
+                    "(both legs pay cross-JVM shuffle)")
+    ap.add_argument("--gate-each-leg", action="store_true",
+                    help="re-certify the burst budget (probe >= --gate) "
+                    "before EVERY leg, sleeping --poll-s between probes, "
+                    "instead of only once per attempt")
+    ap.add_argument("--executor-memory", default=None,
+                    help="standalone per-executor heap (default: sized so "
+                    "the max executor count fits the 48g worker)")
     args = ap.parse_args()
     # sorted: efficiency below divides hi-throughput by lo-throughput —
     # "--levels 8,2" must not silently record (eps2/eps8)/(2/8) ~ 5.0
     levels = tuple(sorted(int(x) for x in args.levels.split(",")))
     n = 500_000 if args.smoke else args.events
+    exec_cores = args.executor_cores
+    exec_mem = args.executor_memory or (
+        "%dg" % max(2, min(6, 40 // max(max(levels) // exec_cores, 1)))
+    )
 
     os.makedirs(WORK, exist_ok=True)
     zpath = build_zip(WORK)
@@ -310,14 +330,46 @@ def main() -> None:
     try:
         first = True
         for t in range(max(args.trials, 1)):
-            for lv in levels:
+            # Alternate which level goes first: with burst-credit
+            # throttling, whichever leg runs second inherits a partly
+            # drained budget — alternating gives BOTH levels fresh-budget
+            # shots, and best-of per level then compares like with like.
+            order = levels if t % 2 == 0 else tuple(reversed(levels))
+            for lv in order:
                 if not first and not args.smoke:
                     time.sleep(args.cooldown_s)
                 first = False
+                leg_probe = None
+                if args.gate_each_leg and not args.smoke:
+                    # A max-CPU leg drains the VM's burst budget faster
+                    # than a fixed cooldown refills it (measured: a
+                    # 0.923-gated attempt's SECOND leg ran 4.6x slow).
+                    # So certify the budget before EVERY leg: sleep until
+                    # the same quick probe that gates the attempt reads
+                    # clean again. Best-of per level then pairs
+                    # fresh-budget legs on both sides — the question the
+                    # standing protocol asks ("does the plan scale when
+                    # the machine can"), with every leg still recorded.
+                    t_leg = time.time() + args.deadline_min * 60
+                    while True:
+                        leg_probe = quick_ceiling()
+                        print(json.dumps({"ev": "leg_probe", "trial": t,
+                                          "level": lv, **leg_probe}),
+                              flush=True)
+                        if leg_probe["ceiling"] >= args.gate:
+                            break
+                        if time.time() > t_leg:
+                            print(json.dumps({"ev": "giveup_leg"}),
+                                  flush=True)
+                            break
+                        time.sleep(args.poll_s)
                 r = run_level(
                     lv, zpath, job, events_path, args.batches,
                     standalone=args.standalone,
+                    exec_cores=exec_cores, exec_mem=exec_mem,
                 )
+                if leg_probe is not None:
+                    r["leg_probe_ceiling"] = leg_probe["ceiling"]
                 trials[lv].append(r)
                 print(json.dumps({"ev": "level", "trial": t, "level": lv,
                                   **r}), flush=True)
@@ -346,7 +398,9 @@ def main() -> None:
         "metric": "spark-submit --py-files CDC replay at two parallelism "
                   "levels (same materialized log)",
         "form": (
-            "standalone cluster: 1 vs 4 executor JVMs, 2 cores each"
+            "standalone cluster: %d vs %d executor JVMs, %d core(s) each"
+            % (levels[0] // exec_cores, levels[-1] // exec_cores,
+               exec_cores)
             if args.standalone else "local[N] threads"
         ),
         "events": n,
@@ -374,6 +428,8 @@ def main() -> None:
             )
     if not args.smoke:
         suffix = "_standalone" if args.standalone else ""
+        if args.standalone and exec_cores != 2:
+            suffix += f"_ec{exec_cores}"
         out = OUT.replace(".json", f"{suffix}_b{args.batches}.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=2)
