@@ -163,6 +163,40 @@ def materialize_events(events_path: str, n: int) -> None:
 
 STANDALONE_MASTER = "spark://127.0.0.1:7077"
 
+# --pin-cpus: the driver gets the same fixed 2-CPU allotment at BOTH
+# levels (a real cluster's driver node doesn't grow with executor count);
+# executors get exactly `level` CPUs. Without pinning, the 1-executor leg
+# on an otherwise-idle 32-CPU box enjoys a free-roaming driver JVM plus
+# free cores for GC/netty/python overhead threads — a ~50% resource
+# subsidy at N=1 executors that no real cluster gives, structurally
+# capping measured N->4N efficiency at ~0.75 even for a perfect plan
+# (3 effective cores vs 9).
+_NCPU = os.cpu_count() or 32
+DRIVER_CPUS = f"{_NCPU - 2},{_NCPU - 1}"
+
+
+def _pgrep_one(pattern: str) -> int | None:
+    out = subprocess.run(["pgrep", "-f", pattern], capture_output=True,
+                         text=True)
+    pids = [int(p) for p in out.stdout.split()]
+    return pids[0] if pids else None
+
+
+def pin_cluster(level: int) -> None:
+    """Pin the worker JVM (and therefore every executor/python worker it
+    forks from now on — affinity is inherited) to CPUs [0, level), and the
+    master JVM to the fixed driver CPUs. Called per leg BEFORE
+    spark-submit, while the per-submission executors don't exist yet."""
+    worker = _pgrep_one("org.apache.spark.deploy.worker.Worker")
+    master = _pgrep_one("org.apache.spark.deploy.master.Master")
+    if worker is None:
+        raise RuntimeError("worker JVM not found for --pin-cpus")
+    subprocess.run(["taskset", "-a", "-pc", f"0-{level - 1}", str(worker)],
+                   check=True, capture_output=True)
+    if master is not None:
+        subprocess.run(["taskset", "-a", "-pc", DRIVER_CPUS, str(master)],
+                       check=True, capture_output=True)
+
 
 def start_cluster() -> None:
     """Boot a single-host standalone cluster: one master JVM + one 8-core
@@ -207,7 +241,8 @@ def stop_cluster() -> None:
 
 def run_level(level: int, zpath: str, job: str, events_path: str,
               batches: int, standalone: bool = False,
-              exec_cores: int = 2, exec_mem: str = "6g") -> dict:
+              exec_cores: int = 2, exec_mem: str = "6g",
+              pin: bool = False) -> dict:
     table = os.path.join(WORK, f"table-l{level}")
     shutil.rmtree(table, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(level))
@@ -233,6 +268,11 @@ def run_level(level: int, zpath: str, job: str, events_path: str,
         "--py-files", zpath,
         job, table, events_path, str(batches), WORK,
     ]
+    if pin and standalone:
+        pin_cluster(level)
+        # the driver (spark-submit JVM + its python) lives on the same
+        # fixed 2 CPUs at both levels — a constant-size driver node
+        cmd = ["taskset", "-c", DRIVER_CPUS] + cmd
     proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
                           cwd=WORK)
     line = next(
@@ -285,6 +325,14 @@ def main() -> None:
                     help="re-certify the burst budget (probe >= --gate) "
                     "before EVERY leg, sleeping --poll-s between probes, "
                     "instead of only once per attempt")
+    ap.add_argument("--pin-cpus", action="store_true",
+                    help="standalone only: taskset executors to exactly "
+                    "`level` CPUs per leg and the driver/master to a "
+                    "fixed 2-CPU set at BOTH levels — the real-cluster "
+                    "shape (constant driver node, N vs 4N executor "
+                    "CPUs). Removes the ~50%% free-core subsidy the "
+                    "1-executor leg otherwise gets from a free-roaming "
+                    "driver JVM on an idle 32-CPU box")
     ap.add_argument("--executor-memory", default=None,
                     help="standalone per-executor heap (default: sized so "
                     "the max executor count fits the 48g worker)")
@@ -367,6 +415,7 @@ def main() -> None:
                     lv, zpath, job, events_path, args.batches,
                     standalone=args.standalone,
                     exec_cores=exec_cores, exec_mem=exec_mem,
+                    pin=args.pin_cpus,
                 )
                 if leg_probe is not None:
                     r["leg_probe_ceiling"] = leg_probe["ceiling"]
@@ -403,6 +452,11 @@ def main() -> None:
                exec_cores)
             if args.standalone else "local[N] threads"
         ),
+        "pinned_cpus": (
+            {"executors": "0..level-1 (exactly N CPUs per leg)",
+             "driver_and_master": DRIVER_CPUS}
+            if args.pin_cpus and args.standalone else None
+        ),
         "events": n,
         "batches": args.batches,
         "levels": {str(k): v for k, v in results.items()},
@@ -430,6 +484,8 @@ def main() -> None:
         suffix = "_standalone" if args.standalone else ""
         if args.standalone and exec_cores != 2:
             suffix += f"_ec{exec_cores}"
+        if args.pin_cpus and args.standalone:
+            suffix += "_pinned"
         out = OUT.replace(".json", f"{suffix}_b{args.batches}.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=2)
