@@ -125,6 +125,54 @@ spark.stop()
 '''
 
 
+# ALU-bound, zero-input, zero-shuffle CONTROL job for the same cluster
+# shapes: spark.range -> chained xxhash64 (whole-stage codegen, register-
+# resident) -> single-row sum. If THIS scales ~1.0 at 1-vs-4 executor JVMs
+# while the byte-heavy replay caps at ~0.4 in the same windows, the gap is
+# the box's shared DRAM bus (and the replay's byte path), not the cluster
+# form, the deployment, or the plan's parallelism structure.
+_CONTROL_JOB = '''\
+import json, sys, time
+
+import sql_etl_pipeline_spark as pkg
+from pyspark.sql import functions as F
+
+from sql_etl_pipeline_spark.session import build_session
+
+rows, chain = int(sys.argv[1]), int(sys.argv[2])
+spark = build_session("submit-control")
+master = spark.sparkContext.master
+# fixed TOTAL work; 4 tasks per core so stragglers amortize
+parts = 4 * spark.sparkContext.defaultParallelism
+
+def run(n):
+    col = F.col("id")
+    for _ in range(chain):
+        col = F.xxhash64(col)
+    return spark.range(0, n, 1, parts).agg(
+        F.sum(col).alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+
+run(rows // 20)  # warmup: codegen + JIT outside the timed window
+t0 = time.time()
+r = run(rows)
+wall = time.time() - t0
+infos = spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos()
+print("SUBMIT_RESULT " + json.dumps({
+    "master": master,
+    "pkg_file": pkg.__file__,
+    "imported_from_zip": ".zip" in pkg.__file__,
+    "executors_incl_driver": len(infos),
+    "events": int(r["n"]),
+    "wall_s": round(wall, 3),
+    "events_per_sec": round(int(r["n"]) / wall, 1),
+    "rows": int(r["n"]),
+    "checksum": int(r["s"]),
+}), flush=True)
+spark.stop()
+'''
+
+
 def build_zip(dest: str) -> str:
     zpath = os.path.join(dest, "sql_etl_pipeline_spark.zip")
     src = os.path.join(REPO, "sql_etl_pipeline_spark")
@@ -242,9 +290,12 @@ def stop_cluster() -> None:
 def run_level(level: int, zpath: str, job: str, events_path: str,
               batches: int, standalone: bool = False,
               exec_cores: int = 2, exec_mem: str = "6g",
-              pin: bool = False) -> dict:
+              pin: bool = False,
+              job_args: list | None = None) -> dict:
     table = os.path.join(WORK, f"table-l{level}")
     shutil.rmtree(table, ignore_errors=True)
+    if job_args is None:
+        job_args = [table, events_path, str(batches), WORK]
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(level))
     if standalone:
         # N vs 4N EXECUTORS: level is total cores, so with the default
@@ -266,7 +317,7 @@ def run_level(level: int, zpath: str, job: str, events_path: str,
         *master_args,
         "--driver-memory", "8g",
         "--py-files", zpath,
-        job, table, events_path, str(batches), WORK,
+        job, *[str(a) for a in job_args],
     ]
     if pin and standalone:
         pin_cluster(level)
@@ -336,6 +387,24 @@ def main() -> None:
     ap.add_argument("--executor-memory", default=None,
                     help="standalone per-executor heap (default: sized so "
                     "the max executor count fits the 48g worker)")
+    ap.add_argument("--control", action="store_true",
+                    help="run the ALU-bound zero-shuffle CONTROL job "
+                    "(spark.range -> chained xxhash64 -> sum) instead of "
+                    "the CDC replay, on the same cluster shapes: "
+                    "isolates whether the infrastructure scales when the "
+                    "job moves no bytes")
+    # 960M rows ~= 47 s at local[2] (measured 20.3M rows/s on 2 cores):
+    # long enough that per-job scheduling overhead (<1 s) is noise at
+    # BOTH levels, short enough not to drain the burst budget mid-leg
+    ap.add_argument("--control-rows", type=int, default=960_000_000)
+    ap.add_argument("--control-chain", type=int, default=16)
+    ap.add_argument("--membw-floor", type=float, default=None,
+                    help="with --gate-each-leg: additionally require the "
+                    "same-moment single-box bus probe to read at least "
+                    "this many GB/s at 2 procs before every leg (the ALU "
+                    "probe is blind to the byte budget; byte-bound legs "
+                    "need the bus certified too). Also records a post-leg "
+                    "bus probe on every leg")
     args = ap.parse_args()
     # sorted: efficiency below divides hi-throughput by lo-throughput —
     # "--levels 8,2" must not silently record (eps2/eps8)/(2/8) ~ 5.0
@@ -348,16 +417,24 @@ def main() -> None:
 
     os.makedirs(WORK, exist_ok=True)
     zpath = build_zip(WORK)
-    job = os.path.join(WORK, "submit_job.py")
-    with open(job, "w") as f:
-        f.write(_JOB)
     events_path = os.path.join(WORK, f"events-{n}")
-    # _SUCCESS guards against reusing a log from a run killed mid-write
-    # (Spark creates the directory first, so isdir alone would replay both
-    # levels against a silently truncated log).
-    if not os.path.exists(os.path.join(events_path, "_SUCCESS")):
-        shutil.rmtree(events_path, ignore_errors=True)
-        materialize_events(events_path, n)
+    if args.control:
+        n = args.control_rows if not args.smoke else 10_000_000
+        job = os.path.join(WORK, "control_job.py")
+        with open(job, "w") as f:
+            f.write(_CONTROL_JOB)
+        job_args = [n, args.control_chain]
+    else:
+        job = os.path.join(WORK, "submit_job.py")
+        with open(job, "w") as f:
+            f.write(_JOB)
+        job_args = None
+        # _SUCCESS guards against reusing a log from a run killed mid-write
+        # (Spark creates the directory first, so isdir alone would replay
+        # both levels against a silently truncated log).
+        if not os.path.exists(os.path.join(events_path, "_SUCCESS")):
+            shutil.rmtree(events_path, ignore_errors=True)
+            materialize_events(events_path, n)
 
     gate_probe = None
     if not args.smoke:
@@ -388,6 +465,7 @@ def main() -> None:
                     time.sleep(args.cooldown_s)
                 first = False
                 leg_probe = None
+                leg_membw = None
                 if args.gate_each_leg and not args.smoke:
                     # A max-CPU leg drains the VM's burst budget faster
                     # than a fixed cooldown refills it (measured: a
@@ -405,7 +483,17 @@ def main() -> None:
                                           "level": lv, **leg_probe}),
                               flush=True)
                         if leg_probe["ceiling"] >= args.gate:
-                            break
+                            if args.membw_floor is None:
+                                break
+                            # the ALU probe is blind to the byte budget;
+                            # a small stream (12 GiB) checks bus health
+                            # without itself draining much of it
+                            leg_membw = membw_ceiling(12 * (1 << 30))
+                            print(json.dumps({"ev": "leg_membw",
+                                              "trial": t, "level": lv,
+                                              **leg_membw}), flush=True)
+                            if leg_membw["GBps_at_2"] >= args.membw_floor:
+                                break
                         if time.time() > t_leg:
                             print(json.dumps({"ev": "giveup_leg"}),
                                   flush=True)
@@ -415,10 +503,16 @@ def main() -> None:
                     lv, zpath, job, events_path, args.batches,
                     standalone=args.standalone,
                     exec_cores=exec_cores, exec_mem=exec_mem,
-                    pin=args.pin_cpus,
+                    pin=args.pin_cpus, job_args=job_args,
                 )
                 if leg_probe is not None:
                     r["leg_probe_ceiling"] = leg_probe["ceiling"]
+                if leg_membw is not None:
+                    r["leg_membw_pre"] = leg_membw
+                    post_mb = membw_ceiling(12 * (1 << 30))
+                    r["leg_membw_post"] = post_mb
+                    print(json.dumps({"ev": "leg_membw_post", "trial": t,
+                                      "level": lv, **post_mb}), flush=True)
                 trials[lv].append(r)
                 print(json.dumps({"ev": "level", "trial": t, "level": lv,
                                   **r}), flush=True)
@@ -444,8 +538,14 @@ def main() -> None:
     membw = None if args.smoke else membw_ceiling()
 
     rec = {
-        "metric": "spark-submit --py-files CDC replay at two parallelism "
-                  "levels (same materialized log)",
+        "metric": (
+            "spark-submit --py-files ALU-bound zero-shuffle CONTROL "
+            f"(range -> xxhash64^{args.control_chain} -> sum) at two "
+            "parallelism levels"
+            if args.control else
+            "spark-submit --py-files CDC replay at two parallelism "
+            "levels (same materialized log)"
+        ),
         "form": (
             "standalone cluster: %d vs %d executor JVMs, %d core(s) each"
             % (levels[0] // exec_cores, levels[-1] // exec_cores,
@@ -486,6 +586,8 @@ def main() -> None:
             suffix += f"_ec{exec_cores}"
         if args.pin_cpus and args.standalone:
             suffix += "_pinned"
+        if args.control:
+            suffix += "_control"
         out = OUT.replace(".json", f"{suffix}_b{args.batches}.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=2)
