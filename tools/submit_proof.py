@@ -364,7 +364,8 @@ def main() -> None:
                     "0.932-gated window collapsed to membw ceiling 0.581 "
                     "by the time hi ran, raw 0.317)")
     ap.add_argument("--smoke", action="store_true",
-                    help="500k events, no gate, no cooldown")
+                    help="500k events (10M rows in --control mode), "
+                    "no gate, no cooldown")
     ap.add_argument("--standalone", action="store_true",
                     help="boot a real standalone cluster and compare "
                     "N vs 4N executors instead of local[N]")
@@ -406,6 +407,9 @@ def main() -> None:
                     "need the bus certified too). Also records a post-leg "
                     "bus probe on every leg")
     args = ap.parse_args()
+    if args.membw_floor is not None and not args.gate_each_leg:
+        ap.error("--membw-floor only takes effect with --gate-each-leg "
+                 "(the bus check lives in the per-leg gate loop)")
     # sorted: efficiency below divides hi-throughput by lo-throughput —
     # "--levels 8,2" must not silently record (eps2/eps8)/(2/8) ~ 5.0
     levels = tuple(sorted(int(x) for x in args.levels.split(",")))
@@ -417,14 +421,15 @@ def main() -> None:
 
     os.makedirs(WORK, exist_ok=True)
     zpath = build_zip(WORK)
-    events_path = os.path.join(WORK, f"events-{n}")
     if args.control:
         n = args.control_rows if not args.smoke else 10_000_000
         job = os.path.join(WORK, "control_job.py")
         with open(job, "w") as f:
             f.write(_CONTROL_JOB)
         job_args = [n, args.control_chain]
+        events_path = None
     else:
+        events_path = os.path.join(WORK, f"events-{n}")
         job = os.path.join(WORK, "submit_job.py")
         with open(job, "w") as f:
             f.write(_JOB)
@@ -478,6 +483,10 @@ def main() -> None:
                     # the machine can"), with every leg still recorded.
                     t_leg = time.time() + args.deadline_min * 60
                     while True:
+                        # reset per probe iteration: on a giveup_leg break
+                        # a reading from an EARLIER iteration must not be
+                        # recorded as the same-moment pre-leg bus state
+                        leg_membw = None
                         leg_probe = quick_ceiling()
                         print(json.dumps({"ev": "leg_probe", "trial": t,
                                           "level": lv, **leg_probe}),
@@ -558,7 +567,9 @@ def main() -> None:
             if args.pin_cpus and args.standalone else None
         ),
         "events": n,
-        "batches": args.batches,
+        # the control job is a single range->hash->sum action; a batch
+        # count would be misleading provenance in its record
+        "batches": None if args.control else args.batches,
         "levels": {str(k): v for k, v in results.items()},
         "state_identical": len(
             {(r["rows"], r["checksum"]) for r in results.values()}
@@ -591,6 +602,7 @@ def main() -> None:
         out = OUT.replace(".json", f"{suffix}_b{args.batches}.json")
         with open(out, "w") as f:
             json.dump(rec, f, indent=2)
+            f.write("\n")
     print(json.dumps(rec), flush=True)
 
 
