@@ -101,7 +101,7 @@ def run_one_attempt(gate_probe: dict, trials: int, events: int) -> dict:
     rec = {
         "attempt": next_attempt_no(),
         "ts": datetime.now().strftime("%H:%M:%S"),
-        "round": 4,
+        "round": 5,
         "note": (
             f"{events // 10**6}M events, levels (2,8), {trials} trials, "
             f"PROBE-GATED (pre-probe ceiling {gate_probe['ceiling']}, "
