@@ -399,6 +399,10 @@ def main() -> None:
     # BOTH levels, short enough not to drain the burst budget mid-leg
     ap.add_argument("--control-rows", type=int, default=960_000_000)
     ap.add_argument("--control-chain", type=int, default=16)
+    ap.add_argument("--out-suffix", default="",
+                    help="extra suffix for the BENCH record filename, so "
+                    "a re-run doesn't overwrite a prior record of the "
+                    "same config (e.g. --out-suffix _r5)")
     ap.add_argument("--membw-floor", type=float, default=None,
                     help="with --gate-each-leg: additionally require the "
                     "same-moment single-box bus probe to read at least "
@@ -599,7 +603,9 @@ def main() -> None:
             suffix += "_pinned"
         if args.control:
             suffix += "_control"
-        out = OUT.replace(".json", f"{suffix}_b{args.batches}.json")
+        out = OUT.replace(
+            ".json", f"{suffix}_b{args.batches}{args.out_suffix}.json"
+        )
         with open(out, "w") as f:
             json.dump(rec, f, indent=2)
             f.write("\n")
